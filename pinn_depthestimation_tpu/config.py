@@ -1,0 +1,460 @@
+"""Config system: accepts the reference JSON schema verbatim, adds validation.
+
+The reference drives everything from plain JSON with no schema or defaults
+(reference ``train.py:35``, ``test.py:137``): sections ``layers``,
+``adam_optimizer``, ``lbfgs_optimizer``, ``loss``, ``data_fidelity`` /
+``data_residual`` (the "CMB" pipeline, reference ``config_CMB.json``) or a
+single ``data`` block with ``inputs`` / ``trues`` / ``unknowns`` (the
+"newmethod" pipeline, reference ``config_CMB_h.json:33-41``), plus
+``data_test`` and ``plot``.
+
+This module accepts those files unchanged and additionally:
+
+* tolerates the legacy schema of ``config.json`` / ``config_txyz.json``
+  (``data_fidelity.dir`` instead of ``file``, missing ``dropout_rate`` /
+  ``init_type`` — reference ``config.json:2-7``), which the reference itself
+  can no longer run;
+* validates types/ranges with actionable errors instead of deep KeyErrors;
+* supports framework extensions under keys the reference never reads:
+  ``physics`` (equation name override), ``parity`` (reproduce the reference's
+  numerical quirks bit-for-honest vs corrected physics), ``parallel``
+  (device-mesh shape), ``precision`` and ``snapshot_iteration``.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+class ConfigError(ValueError):
+    """Raised when a config file is malformed or inconsistent."""
+
+
+_VALID_INIT_TYPES = ("xavier", "kaiming")
+_VALID_LINE_SEARCH = ("strong_wolfe", "none")
+_VALID_PHYSICS = (
+    "continuity_only",     # reference physics.py:18
+    "continuity_ftemp",    # reference physics.py:37
+    "navier_stokes",       # reference physics.py:50
+    "wave_averaged",       # reference physics.py:91 (`physics_equation`)
+)
+
+
+def _as_int(value: Any, where: str) -> int:
+    """Ints may be written in scientific notation in reference configs
+    (``"max_it": 5.00e4``, reference ``config.json:26``)."""
+    try:
+        f = float(value)
+    except (TypeError, ValueError):
+        raise ConfigError(f"{where}: expected a number, got {value!r}")
+    i = int(round(f))
+    if not math.isfinite(f) or abs(f - i) > 1e-9 * max(1.0, abs(f)):
+        raise ConfigError(f"{where}: expected an integer-valued number, got {value!r}")
+    return i
+
+
+def _as_float(value: Any, where: str) -> float:
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        raise ConfigError(f"{where}: expected a number, got {value!r}")
+
+
+def _requires_grad(info: Any) -> bool:
+    """Reference encodes per-input differentiability as
+    ``{"requires_grad": ["true"]}`` and tests membership of the string "true"
+    (reference ``train.py:87``). Accept that form plus plain booleans."""
+    if isinstance(info, Mapping):
+        flag = info.get("requires_grad", False)
+    else:
+        flag = info
+    if isinstance(flag, bool):
+        return flag
+    if isinstance(flag, str):
+        return "true" in flag.lower()
+    if isinstance(flag, Sequence):
+        return any("true" in str(x).lower() for x in flag)
+    return bool(flag)
+
+
+@dataclass(frozen=True)
+class LayersConfig:
+    input_features: int
+    hidden_layers: int
+    hidden_width: int
+    output_features: int
+    dropout_rate: float = 0.0
+    init_type: str = "xavier"
+
+    @property
+    def sizes(self) -> list[int]:
+        """Layer-size list exactly as the reference constructs it
+        (reference ``train.py:56``)."""
+        return (
+            [self.input_features]
+            + [self.hidden_width] * self.hidden_layers
+            + [self.output_features]
+        )
+
+
+@dataclass(frozen=True)
+class AdamConfig:
+    max_it: int
+    learning_rate: float
+    scheduler_step_size: int
+    scheduler_gamma: float
+
+
+@dataclass(frozen=True)
+class LBFGSConfig:
+    max_it: int
+    learning_rate: float
+    max_evaluation: int
+    history_size: int
+    tolerance_grad: float
+    tolerance_change: float
+    line_search_fn: str = "strong_wolfe"
+
+
+@dataclass(frozen=True)
+class FidelityDataConfig:
+    """CMB fidelity block (reference ``config_CMB.json:39-44``)."""
+
+    file: str
+    inputs: tuple[str, ...]
+    outputs: tuple[str, ...]
+    training_points: int
+
+
+@dataclass(frozen=True)
+class ResidualDataConfig:
+    """CMB residual/collocation block (reference ``config_CMB.json:46-56``)."""
+
+    file: str
+    inputs: tuple[str, ...]
+    requires_grad: tuple[bool, ...]
+    outputs: tuple[str, ...]
+    interval_x: int = 1
+    interval_y: int = 1
+    snapshots: tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class UnifiedDataConfig:
+    """newmethod data block (reference ``config_CMB_h.json:33-41``)."""
+
+    file: str
+    inputs: tuple[str, ...]
+    requires_grad: tuple[bool, ...]
+    trues: tuple[str, ...]
+    unknowns: tuple[str, ...]
+
+    @property
+    def outputs(self) -> tuple[str, ...]:
+        """Network output order: true heads first, then unknown heads
+        (reference ``train_newmethod.py:136-139``)."""
+        return self.trues + self.unknowns
+
+
+@dataclass(frozen=True)
+class TestDataConfig:
+    model: str | None
+    file: str | None
+    inputs: tuple[str, ...]
+    requires_grad: tuple[bool, ...]
+    outputs: tuple[str, ...]
+    nx: int | None = None
+    ny: int | None = None
+    dx: float | None = None
+    dy: float | None = None
+    x_min: float | None = None
+    x_max: float | None = None
+    y_min: float | None = None
+    y_max: float | None = None
+    dt: float | None = None
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh shape (framework extension; the reference is single-device,
+    reference ``train.py:25-32``). ``data=None`` means "all visible devices"."""
+
+    data: int | None = None
+    model: int = 1
+
+
+@dataclass
+class Config:
+    raw: dict[str, Any]
+    kind: str  # 'cmb' | 'newmethod'
+    layers: LayersConfig
+    adam: AdamConfig
+    lbfgs: LBFGSConfig
+    loss_weights: dict[str, float]
+    weight_fidelity: float
+    weight_residual: float
+    data_fidelity: FidelityDataConfig | None = None
+    data_residual: ResidualDataConfig | None = None
+    data: UnifiedDataConfig | None = None
+    data_test: TestDataConfig | None = None
+    physics: str = "continuity_only"
+    parity: bool = True
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    snapshot_iteration: int | None = None
+    perform_optimization: bool = False
+    seed: int = 1234
+    dtype: str = "float32"
+
+    def output_weight(self, key: str) -> float:
+        """Per-output fidelity loss weight ``weight_<key>_loss``
+        (reference ``train.py:94-95,140-141``); 1.0 when absent (the
+        newmethod pipeline weights every output equally via ``F.mse_loss``,
+        reference ``train_newmethod.py:129-133``)."""
+        return float(self.loss_weights.get(f"weight_{key}_loss", 1.0))
+
+
+def _parse_layers(d: Mapping[str, Any]) -> LayersConfig:
+    for k in ("input_features", "hidden_layers", "hidden_width", "output_features"):
+        if k not in d:
+            raise ConfigError(f"layers.{k} is required")
+    init_type = str(d.get("init_type", "xavier"))
+    if init_type not in _VALID_INIT_TYPES:
+        raise ConfigError(
+            f"layers.init_type must be one of {_VALID_INIT_TYPES}, got {init_type!r}"
+        )
+    dropout = _as_float(d.get("dropout_rate", 0.0), "layers.dropout_rate")
+    if not 0.0 <= dropout < 1.0:
+        raise ConfigError(f"layers.dropout_rate must be in [0, 1), got {dropout}")
+    cfg = LayersConfig(
+        input_features=_as_int(d["input_features"], "layers.input_features"),
+        hidden_layers=_as_int(d["hidden_layers"], "layers.hidden_layers"),
+        hidden_width=_as_int(d["hidden_width"], "layers.hidden_width"),
+        output_features=_as_int(d["output_features"], "layers.output_features"),
+        dropout_rate=dropout,
+        init_type=init_type,
+    )
+    for k in ("input_features", "hidden_layers", "hidden_width", "output_features"):
+        if getattr(cfg, k) <= 0 and k != "hidden_layers":
+            raise ConfigError(f"layers.{k} must be positive")
+    if cfg.hidden_layers < 1:
+        raise ConfigError("layers.hidden_layers must be >= 1")
+    return cfg
+
+
+def _parse_adam(d: Mapping[str, Any]) -> AdamConfig:
+    return AdamConfig(
+        max_it=_as_int(d.get("max_it", 0), "adam_optimizer.max_it"),
+        learning_rate=_as_float(d.get("learning_rate", 1e-4), "adam_optimizer.learning_rate"),
+        scheduler_step_size=_as_int(
+            d.get("scheduler_step_size", 10_000), "adam_optimizer.scheduler_step_size"
+        ),
+        scheduler_gamma=_as_float(
+            d.get("scheduler_gamma", 1.0), "adam_optimizer.scheduler_gamma"
+        ),
+    )
+
+
+def _parse_lbfgs(d: Mapping[str, Any]) -> LBFGSConfig:
+    ls = str(d.get("line_search_fn", "strong_wolfe") or "none")
+    if ls not in _VALID_LINE_SEARCH:
+        raise ConfigError(
+            f"lbfgs_optimizer.line_search_fn must be one of {_VALID_LINE_SEARCH}, got {ls!r}"
+        )
+    return LBFGSConfig(
+        max_it=_as_int(d.get("max_it", 0), "lbfgs_optimizer.max_it"),
+        learning_rate=_as_float(d.get("learning_rate", 1.0), "lbfgs_optimizer.learning_rate"),
+        max_evaluation=_as_int(
+            d.get("max_evaluation", round(1.25 * float(d.get("max_it", 0)))),
+            "lbfgs_optimizer.max_evaluation",
+        ),
+        history_size=_as_int(d.get("history_size", 100), "lbfgs_optimizer.history_size"),
+        tolerance_grad=_as_float(d.get("tolerance_grad", 1e-7), "lbfgs_optimizer.tolerance_grad"),
+        tolerance_change=_as_float(
+            d.get("tolerance_change", 1e-9), "lbfgs_optimizer.tolerance_change"
+        ),
+        line_search_fn=ls,
+    )
+
+
+def _inputs_and_grads(d: Any, where: str) -> tuple[tuple[str, ...], tuple[bool, ...]]:
+    """Residual-style inputs are a dict name -> {requires_grad: [...]}
+    (reference ``config_CMB.json:48-51``); fidelity-style inputs are a plain
+    list (reference ``config_CMB.json:41``)."""
+    if isinstance(d, Mapping):
+        names = tuple(d.keys())
+        grads = tuple(_requires_grad(v) for v in d.values())
+    elif isinstance(d, Sequence) and not isinstance(d, (str, bytes)):
+        names = tuple(str(x) for x in d)
+        grads = tuple(True for _ in names)
+    else:
+        raise ConfigError(f"{where}.inputs must be a list or a mapping, got {type(d).__name__}")
+    if not names:
+        raise ConfigError(f"{where}.inputs must not be empty")
+    return names, grads
+
+
+def _file_of(d: Mapping[str, Any], where: str) -> str:
+    # Legacy configs use 'dir' where current ones use 'file'
+    # (reference config.json:38 vs config_CMB.json:40).
+    if "file" in d:
+        return str(d["file"])
+    if "dir" in d:
+        return str(d["dir"])
+    raise ConfigError(f"{where}.file is required")
+
+
+def _output_names(d: Any) -> tuple[str, ...]:
+    # Legacy residual outputs are a mapping name -> {file: ...}
+    # (reference config.json:46-51); current ones are a list.
+    if isinstance(d, Mapping):
+        return tuple(d.keys())
+    return tuple(str(x) for x in d)
+
+
+def parse_config(raw: Mapping[str, Any]) -> Config:
+    raw = copy.deepcopy(dict(raw))
+    if "layers" not in raw:
+        raise ConfigError("config must contain a 'layers' section")
+    layers = _parse_layers(raw["layers"])
+    adam = _parse_adam(raw.get("adam_optimizer", {}))
+    lbfgs = _parse_lbfgs(raw.get("lbfgs_optimizer", {}))
+
+    loss_raw = raw.get("loss", {})
+    weights = {k: _as_float(v, f"loss.{k}") for k, v in loss_raw.items()}
+    weight_fid = weights.get("weight_fid_loss", 1.0)
+    weight_res = weights.get("weight_res_loss", 1.0)
+
+    data_fidelity = data_residual = data = None
+    if "data" in raw:
+        kind = "newmethod"
+        d = raw["data"]
+        names, grads = _inputs_and_grads(d.get("inputs"), "data")
+        data = UnifiedDataConfig(
+            file=_file_of(d, "data"),
+            inputs=names,
+            requires_grad=grads,
+            trues=tuple(d.get("trues", ())),
+            unknowns=tuple(d.get("unknowns", ())),
+        )
+        if len(data.inputs) != layers.input_features:
+            raise ConfigError(
+                f"data.inputs has {len(data.inputs)} entries but "
+                f"layers.input_features={layers.input_features}"
+            )
+        if len(data.outputs) != layers.output_features:
+            raise ConfigError(
+                f"data.trues+unknowns has {len(data.outputs)} entries but "
+                f"layers.output_features={layers.output_features}"
+            )
+    elif "data_fidelity" in raw:
+        kind = "cmb"
+        fd = raw["data_fidelity"]
+        fid_inputs = tuple(str(x) for x in fd.get("inputs", ()))
+        data_fidelity = FidelityDataConfig(
+            file=_file_of(fd, "data_fidelity"),
+            inputs=fid_inputs,
+            outputs=tuple(str(x) for x in fd.get("outputs", ())),
+            training_points=_as_int(
+                fd.get("training_points", 0), "data_fidelity.training_points"
+            ),
+        )
+        rd = raw.get("data_residual", {})
+        r_names, r_grads = _inputs_and_grads(rd.get("inputs"), "data_residual")
+        data_residual = ResidualDataConfig(
+            file=_file_of(rd, "data_residual") if ("file" in rd or "dir" in rd) else "",
+            inputs=r_names,
+            requires_grad=r_grads,
+            outputs=_output_names(rd.get("outputs", ())),
+            interval_x=_as_int(rd.get("interval_x", 1), "data_residual.interval_x"),
+            interval_y=_as_int(rd.get("interval_y", 1), "data_residual.interval_y"),
+            snapshots=tuple(
+                _as_int(s, "data_residual.snapshots")
+                for s in rd.get("snapshots", rd.get("numerical_model_snapshots", ()))
+            ),
+        )
+        if len(fid_inputs) != layers.input_features:
+            raise ConfigError(
+                f"data_fidelity.inputs has {len(fid_inputs)} entries but "
+                f"layers.input_features={layers.input_features}"
+            )
+    else:
+        raise ConfigError("config must contain either a 'data' or a 'data_fidelity' section")
+
+    data_test = None
+    if "data_test" in raw:
+        td = raw["data_test"]
+        t_names, t_grads = _inputs_and_grads(td.get("inputs", ["x", "y"]), "data_test")
+        data_test = TestDataConfig(
+            model=td.get("model"),
+            file=td.get("file"),
+            inputs=t_names,
+            requires_grad=t_grads,
+            outputs=tuple(str(x) for x in td.get("outputs", ())),
+            nx=_as_int(td["nx"], "data_test.nx") if "nx" in td else None,
+            ny=_as_int(td["ny"], "data_test.ny") if "ny" in td else None,
+            dx=_as_float(td["dx"], "data_test.dx") if "dx" in td else None,
+            dy=_as_float(td["dy"], "data_test.dy") if "dy" in td else None,
+            x_min=_as_float(td["x_min"], "data_test.x_min") if "x_min" in td else None,
+            x_max=_as_float(td["x_max"], "data_test.x_max") if "x_max" in td else None,
+            y_min=_as_float(td["y_min"], "data_test.y_min") if "y_min" in td else None,
+            y_max=_as_float(td["y_max"], "data_test.y_max") if "y_max" in td else None,
+            dt=_as_float(td["dt"], "data_test.dt") if "dt" in td else None,
+        )
+
+    # Physics equation: reference hardcodes the choice per entry script
+    # (train.py:17 imports physics_equation; train_newmethod.py:18 imports
+    # continuity_only; test.py:6 imports Navier_Stokes). Default by pipeline,
+    # overridable with the 'physics' extension key.
+    default_physics = "continuity_only" if kind == "newmethod" else "wave_averaged"
+    physics = str(raw.get("physics", default_physics))
+    if physics not in _VALID_PHYSICS:
+        raise ConfigError(f"physics must be one of {_VALID_PHYSICS}, got {physics!r}")
+
+    par_raw = raw.get("parallel", {})
+    parallel = ParallelConfig(
+        data=_as_int(par_raw["data"], "parallel.data") if "data" in par_raw else None,
+        model=_as_int(par_raw.get("model", 1), "parallel.model"),
+    )
+
+    # The reference snapshots predictions exactly at iteration 50,000 in the
+    # newmethod pipeline (train_newmethod.py:141-153).
+    default_snapshot = 50_000 if (kind == "newmethod" and data and data.unknowns) else None
+    snap = raw.get("snapshot_iteration", default_snapshot)
+
+    return Config(
+        raw=raw,
+        kind=kind,
+        layers=layers,
+        adam=adam,
+        lbfgs=lbfgs,
+        loss_weights=weights,
+        weight_fidelity=weight_fid,
+        weight_residual=weight_res,
+        data_fidelity=data_fidelity,
+        data_residual=data_residual,
+        data=data,
+        data_test=data_test,
+        physics=physics,
+        parity=bool(raw.get("parity", True)),
+        parallel=parallel,
+        snapshot_iteration=_as_int(snap, "snapshot_iteration") if snap is not None else None,
+        perform_optimization=bool(raw.get("perform_optimization", False)),
+        seed=_as_int(raw.get("seed", 1234), "seed"),
+        dtype=str(raw.get("precision", raw.get("dtype", "float32"))),
+    )
+
+
+def load_config(path: str) -> Config:
+    with open(path, "r") as f:
+        try:
+            raw = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"{path}: invalid JSON: {e}") from e
+    try:
+        return parse_config(raw)
+    except ConfigError as e:
+        raise ConfigError(f"{path}: {e}") from e

@@ -1,0 +1,179 @@
+"""Host-side data ingestion matching the reference pipelines byte-for-byte.
+
+CSV and ``.mat`` loading stays on the host (pandas / scipy.io exactly as the
+reference uses them, ``train.py:217``, ``train.py:258``); arrays cross to the
+TPU once, as a single device_put of the assembled full batch — versus the
+reference's per-iteration ``loss.item()`` host sync (``train.py:170``).
+
+Three loaders:
+
+* :func:`load_cmb_training_data` — CSV fidelity set (round(3), normalize with
+  dict-wide min/max, random subsample of ``training_points`` rows; reference
+  ``train.py:216-240``) plus ``.mat`` residual/collocation grid (per-variable
+  load, ``[::interval_x, ::interval_y]`` stride, normalization with the
+  *fidelity* bounds, Fortran-order flatten, NaN-row mask; reference
+  ``train.py:246-277``).
+* :func:`load_newmethod_training_data` — single ``.mat`` supplying inputs
+  (normalized per-key with config x/y bounds) and true fields (raw), with the
+  NaN mask of the trues applied to both (reference
+  ``train_newmethod.py:226-255``).
+* :func:`load_test_data` — full-grid inputs normalized dict-wide and flattened
+  C-order (reference ``test.py:156-183``; note the train-time residual flatten
+  is Fortran-order while the test flatten is C-order — both reproduced).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from scipy.io import loadmat
+
+from pinn_depthestimation_tpu import ops
+from pinn_depthestimation_tpu.config import Config
+
+
+@dataclass
+class TrainingData:
+    """Assembled full-batch training arrays (host NumPy, float32)."""
+
+    fidelity_input: np.ndarray          # (Nf, d_in) normalized
+    fidelity_true: np.ndarray           # (Nf, n_true_outputs)
+    residual_input: np.ndarray          # (Nr, d_in) normalized
+    input_min_max: dict[str, tuple[float, float]] = field(default_factory=dict)
+
+
+def _fortran_column(arr: np.ndarray) -> np.ndarray:
+    """reshape(-1, shape[1]) -> transpose -> reshape(-1, 1), exactly as the
+    reference flattens residual grids (reference ``train.py:265-267``)."""
+    tmp = arr.reshape(-1, arr.shape[1])
+    tmp = np.transpose(tmp)
+    return tmp.reshape(-1, 1)
+
+
+def load_mat_var(path: str, key: str) -> np.ndarray:
+    data = loadmat(path, variable_names=key)
+    if key not in data:
+        raise KeyError(f"{path!r} has no variable {key!r}")
+    return data[key]
+
+
+def load_cmb_training_data(config: Config, rng: np.random.RandomState | None = None) -> TrainingData:
+    fd = config.data_fidelity
+    rd = config.data_residual
+    assert fd is not None and rd is not None, "CMB loader needs data_fidelity/data_residual"
+    if rng is None:
+        rng = np.random.RandomState(config.seed)
+
+    # --- fidelity: CSV -> round(3) -> column dicts (reference train.py:216-225)
+    frame = pd.read_csv(fd.file)
+    frame = frame.round(3)
+    fidelity_input = {k: frame[k].to_numpy() for k in frame.columns if k in fd.inputs}
+    fidelity_true = {k: frame[k].to_numpy() for k in frame.columns if k in fd.outputs}
+
+    # dict-wide min/max with the x/y config override (reference train.py:228)
+    input_min_max = ops.get_min_max(fidelity_input, config.raw)
+    for key in fidelity_input:
+        lo, hi = input_min_max[key]
+        fidelity_input[key] = ops.normalize(fidelity_input[key], lo, hi)
+
+    fid_in = np.column_stack([fidelity_input[k] for k in fd.inputs])
+    fid_true = np.column_stack([fidelity_true[k] for k in fd.outputs])
+
+    # random subsample of training_points rows (reference train.py:237-240)
+    idx = rng.choice(fid_in.shape[0], fd.training_points, replace=False)
+    fid_in, fid_true = fid_in[idx, :], fid_true[idx, :]
+
+    # --- residual: per-variable .mat -> stride -> normalize with fidelity
+    # bounds -> Fortran-order column -> hstack (reference train.py:257-273)
+    columns = []
+    for key in rd.inputs:
+        arr = load_mat_var(rd.file, key)
+        arr = arr[:: rd.interval_x, :: rd.interval_y]
+        lo, hi = input_min_max[key]
+        arr = ops.normalize(arr, lo, hi)
+        columns.append(_fortran_column(arr))
+    residual_input = columns[0] if len(columns) == 1 else np.hstack(columns)
+
+    # NaN-row mask (reference train.py:276-277)
+    mask = np.isnan(residual_input).any(axis=1)
+    residual_input = residual_input[~mask]
+
+    return TrainingData(
+        fidelity_input=np.asarray(fid_in, dtype=np.float32),
+        fidelity_true=np.asarray(fid_true, dtype=np.float32),
+        residual_input=np.asarray(residual_input, dtype=np.float32),
+        input_min_max=dict(input_min_max),
+    )
+
+
+def load_newmethod_training_data(config: Config) -> TrainingData:
+    dc = config.data
+    assert dc is not None, "newmethod loader needs a 'data' section"
+
+    input_min_max: dict[str, tuple[float, float]] = {}
+    input_cols = []
+    for key in dc.inputs:
+        arr = load_mat_var(dc.file, key)
+        # per-key 3-arg min/max with config x/y override
+        # (reference train_newmethod.py:231-232)
+        mm = ops.get_min_max({key: arr}, key, config.raw)
+        lo, hi = mm[key]
+        input_min_max[key] = (lo, hi)
+        input_cols.append(ops.normalize(arr, lo, hi))
+    data_input = input_cols[0] if len(input_cols) == 1 else np.hstack(input_cols)
+
+    # trues are used raw — never normalized (reference train_newmethod.py:241-250)
+    true_cols = [load_mat_var(dc.file, key) for key in dc.trues]
+    data_true = true_cols[0] if len(true_cols) == 1 else np.hstack(true_cols)
+
+    # NaN mask from the trues, applied to both (reference train_newmethod.py:252-255)
+    mask = np.isnan(data_true).any(axis=1)
+    data_input = data_input[~mask]
+    data_true = data_true[~mask]
+
+    # The newmethod pipeline has no separate collocation set: residual loss is
+    # evaluated on the same (masked) inputs (reference train_newmethod.py:156).
+    return TrainingData(
+        fidelity_input=np.asarray(data_input, dtype=np.float32),
+        fidelity_true=np.asarray(data_true, dtype=np.float32),
+        residual_input=np.asarray(data_input, dtype=np.float32),
+        input_min_max=input_min_max,
+    )
+
+
+def load_training_data(config: Config, rng: np.random.RandomState | None = None) -> TrainingData:
+    if config.kind == "newmethod":
+        return load_newmethod_training_data(config)
+    return load_cmb_training_data(config, rng)
+
+
+@dataclass
+class TestData:
+    inputs: np.ndarray                               # (N, d_in) normalized, C-order flatten
+    trues: dict[str, np.ndarray]                     # raw grids by output name
+    input_min_max: dict[str, tuple[float, float]]
+
+
+def load_test_data(config: Config) -> TestData:
+    td = config.data_test
+    assert td is not None and td.file, "config needs a data_test section with a file"
+
+    raw_inputs = {key: load_mat_var(td.file, key) for key in td.inputs}
+    # dict-wide min/max (reference test.py:161); the newmethod test script uses
+    # the per-key form (test_newmethod.py:100) — identical bounds either way.
+    input_min_max = ops.get_min_max(raw_inputs, config.raw)
+    cols = []
+    for key in td.inputs:
+        lo, hi = input_min_max[key]
+        normalized = ops.normalize(raw_inputs[key], lo, hi)
+        cols.append(normalized.reshape(-1, 1))  # C-order (reference test.py:178)
+    inputs = cols[0] if len(cols) == 1 else np.hstack(cols)
+
+    trues = {key: load_mat_var(td.file, key) for key in td.outputs}
+    return TestData(
+        inputs=np.asarray(inputs, dtype=np.float32),
+        trues=trues,
+        input_min_max=dict(input_min_max),
+    )

@@ -1,0 +1,7 @@
+from pinn_depthestimation_tpu.models.mlp import (  # noqa: F401
+    MLPSpec,
+    init_mlp_params,
+    mlp_apply,
+    mlp_apply_with_tangents,
+    num_params,
+)

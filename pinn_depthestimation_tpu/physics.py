@@ -1,0 +1,292 @@
+"""PDE residual library (shallow-water / wave-averaged nearshore physics).
+
+Rebuilds the four residual losses of reference ``physics.py`` as pure
+functions over *field values and their coordinate derivatives*:
+
+* ``continuity_only``  — depth-anchored continuity (reference ``physics.py:18-33``)
+* ``continuity_ftemp`` — anchor-free continuity (reference ``physics.py:37-47``)
+* ``navier_stokes``    — time-dependent continuity + momentum with wave
+  breaking (reference ``physics.py:50-88``)
+* ``wave_averaged``    — wave-averaged momentum with bottom friction and
+  radiation stresses (reference ``physics.py:91-120``, named
+  ``physics_equation`` there)
+
+Instead of nested reverse-mode autograd over a retained graph, callers supply
+``grads[coord][field]`` — per-coordinate forward-mode derivatives of every
+network output, produced in one fused pass by
+``models.mlp.mlp_apply_with_tangents``. Derivatives of *derived* quantities
+(``h*U``, radiation stresses) are obtained by pushing the same tangents
+through the derivation algebra with an elementwise ``jax.jvp``.
+
+Every loss takes an optional ``mask`` so collocation batches can be padded to
+a device-mesh-divisible size; masked points contribute nothing and means are
+renormalized. All functions are pure, jit-safe, and differentiable w.r.t.
+anything in ``fields``/``grads`` (so ``jax.grad`` w.r.t. parameters works
+through them).
+
+Parity quirks (reproduced when ``parity=True``, documented in SURVEY.md §5):
+
+1. The reference's radiation-stress prefactor ``E = 1/8**rho*g*Hrms**2``
+   parses as ``(1/8**1025)*...`` which underflows to exactly 0.0, deleting the
+   radiation-stress terms from ``wave_averaged``. ``parity=False`` computes
+   the intended ``rho*g*Hrms**2/8``.
+2. ``continuity_only``'s depth anchor compares the (normalized, in the
+   shipped pipeline) x coordinate against 25.5, selecting every collocation
+   point. The anchor coordinate array is whatever the caller passes as
+   ``coords['x']`` — the parity pipeline passes normalized x exactly as the
+   reference does (reference ``train_newmethod.py:156,231-232``); a corrected
+   pipeline may pass physical x.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+G = 9.81          # m/s^2 (reference physics.py:75,97)
+RHO = 1025.0      # kg/m^3 (reference physics.py:98)
+CD = 0.002        # drag coefficient (reference physics.py:71,99)
+GAMMA_B = 0.78    # breaking index (reference physics.py:76)
+
+
+def masked_mean(values: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """Mean over valid entries; ``mask=None`` means all valid."""
+    if mask is None:
+        return jnp.mean(values)
+    mask = mask.astype(values.dtype)
+    return jnp.sum(values * mask) / jnp.sum(mask)
+
+
+def _subdict(d: Mapping[str, jax.Array], keys) -> dict[str, jax.Array]:
+    return {k: d[k] for k in keys}
+
+
+def derived_and_grad(
+    fn: Callable[[dict], jax.Array],
+    fields: Mapping[str, jax.Array],
+    dfields: Mapping[str, jax.Array],
+    keys,
+):
+    """Value of a derived quantity and its coordinate derivative by chain rule:
+    push the coordinate tangent of the involved fields through ``fn``."""
+    primal = _subdict(fields, keys)
+    tangent = _subdict(dfields, keys)
+    return jax.jvp(fn, (primal,), (tangent,))
+
+
+# ---------------------------------------------------------------------------
+# continuity_only — reference physics.py:18-33
+# ---------------------------------------------------------------------------
+
+def continuity_only_residuals(fields, grads):
+    """Pointwise continuity residual ``d(hU)/dx + d(hV)/dy``."""
+    h, U, V = fields["h"], fields["U"], fields["V"]
+    dx, dy = grads["x"], grads["y"]
+    hU_x = dx["h"] * U + h * dx["U"]
+    hV_y = dy["h"] * V + h * dy["V"]
+    return hU_x + hV_y
+
+
+def continuity_only(
+    coords,
+    fields,
+    grads,
+    *,
+    mask=None,
+    parity: bool = True,
+    anchor_threshold: float = 25.5,
+    anchor_depth: float = 0.75,
+):
+    """Continuity loss plus depth anchor ``mean((h[x < 25.5] - 0.75)^2)``.
+
+    ``coords['x']`` is compared against the threshold exactly as stored
+    (see module docstring, quirk 2). ``parity`` is accepted for interface
+    uniformity; this equation has no parity-dependent term.
+    """
+    del parity
+    fc = continuity_only_residuals(fields, grads)
+    loss_continuity = masked_mean(fc**2, mask)
+
+    x = coords["x"]
+    sel = (x < anchor_threshold)
+    if mask is not None:
+        sel = jnp.logical_and(sel, mask.astype(bool))
+    sel = sel.astype(fc.dtype)
+    n_sel = jnp.sum(sel)
+    # Mean over the selected subset; empty selection yields nan exactly like
+    # torch.mean of an empty tensor (reference physics.py:28).
+    loss_condition = jnp.sum(sel * (fields["h"] - anchor_depth) ** 2) / n_sel
+    return loss_continuity + loss_condition
+
+
+# ---------------------------------------------------------------------------
+# continuity_ftemp — reference physics.py:37-47
+# ---------------------------------------------------------------------------
+
+def continuity_ftemp(coords, fields, grads, *, mask=None, parity: bool = True):
+    del coords, parity
+    fc = continuity_only_residuals(fields, grads)
+    return masked_mean(fc**2, mask)
+
+
+# ---------------------------------------------------------------------------
+# Navier_Stokes — reference physics.py:50-88
+# ---------------------------------------------------------------------------
+
+def navier_stokes_residuals(fields, grads):
+    """Pointwise (continuity, x-momentum, y-momentum) residuals."""
+    h, z, u, v = fields["h"], fields["z"], fields["u"], fields["v"]
+    dt, dx, dy = grads["t"], grads["x"], grads["y"]
+
+    u_t, u_x, u_y = dt["u"], dx["u"], dy["u"]
+    v_t, v_x, v_y = dt["v"], dx["v"], dy["v"]
+    z_t, z_x, z_y = dt["z"], dx["z"], dy["z"]
+
+    depth = h + z
+    h_x = dx["h"] + dx["z"]           # compute_gradient(h+z, x), physics.py:64
+    h_y = dy["h"] + dy["z"]
+    hu_x = h_x * u + depth * u_x      # compute_gradient((h+z)*u, x), physics.py:67
+    hv_y = h_y * v + depth * v_y
+
+    # Friction disabled in the reference (physics.py:72-73).
+    fbr_x = 3.0 / 16.0 * G * GAMMA_B**2 * h_x * depth
+    fbr_y = 3.0 / 16.0 * G * GAMMA_B**2 * h_y * depth
+
+    fc = z_t + hu_x + hv_y
+    fm_x = u_t + u * u_x + v * u_y + G * z_x + fbr_x
+    fm_y = v_t + u * v_x + v * v_y + G * z_y + fbr_y
+    return fc, fm_x, fm_y
+
+
+def navier_stokes(coords, fields, grads, *, mask=None, parity: bool = True):
+    del coords, parity
+    fc, fm_x, fm_y = navier_stokes_residuals(fields, grads)
+    return (
+        masked_mean(fc**2, mask)
+        + masked_mean(fm_x**2, mask)
+        + masked_mean(fm_y**2, mask)
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave_averaged — reference physics.py:91-120 (`physics_equation`)
+# ---------------------------------------------------------------------------
+
+def _radiation_prefactor(hrms, parity: bool):
+    if parity:
+        # Reference: E = 1/8**rho*g*Hrms**2 -> (1/8**1025)*... == 0.0 exactly
+        # (operator precedence; verified numerically). Keep the zeros in the
+        # graph so downstream hazards (inf * 0) match.
+        return jnp.zeros_like(hrms)
+    return RHO * G * hrms**2 / 8.0
+
+
+def wave_averaged_residuals(fields, grads, *, parity: bool = True):
+    """Pointwise (continuity, x-momentum, y-momentum) residuals."""
+    h, U, V = fields["h"], fields["U"], fields["V"]
+    eta, hrms, k = fields["eta_mean"], fields["Hrms"], fields["k"]
+    dx, dy = grads["x"], grads["y"]
+
+    u_x, u_y = dx["U"], dy["U"]
+    v_x, v_y = dx["V"], dy["V"]
+    z_x, z_y = dx["eta_mean"], dy["eta_mean"]
+
+    tau_bx = RHO * CD * U * jnp.abs(U)
+    tau_by = RHO * CD * V * jnp.abs(V)
+
+    def sxx(f):
+        e = _radiation_prefactor(f["Hrms"], parity)
+        kh = f["k"] * f["h"]
+        return e * (2.0 * kh / jnp.sinh(2.0 * kh) + 0.5)
+
+    def syy(f):
+        e = _radiation_prefactor(f["Hrms"], parity)
+        kh = f["k"] * f["h"]
+        return e * (kh / jnp.sinh(2.0 * kh))
+
+    stress_keys = ("h", "Hrms", "k")
+    _, sxx_x = derived_and_grad(sxx, fields, dx, stress_keys)
+    _, syy_y = derived_and_grad(syy, fields, dy, stress_keys)
+
+    inv_rho_d = 1.0 / (RHO * (eta + h))
+    fc = u_x + v_y
+    fx = U * u_x + V * u_y + G * z_x + inv_rho_d * sxx_x + inv_rho_d * tau_bx
+    fy = U * v_x + V * v_y + G * z_y + inv_rho_d * syy_y + inv_rho_d * tau_by
+    return fc, fx, fy
+
+
+def wave_averaged(coords, fields, grads, *, mask=None, parity: bool = True):
+    del coords
+    fc, fx, fy = wave_averaged_residuals(fields, grads, parity=parity)
+    return (
+        masked_mean(fc**2, mask)
+        + masked_mean(fx**2, mask)
+        + masked_mean(fy**2, mask)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model -> physics bridge
+# ---------------------------------------------------------------------------
+
+def model_fields_and_grads(
+    apply_with_tangents: Callable,
+    coords: jax.Array,
+    input_names,
+    grad_coords,
+    output_names,
+):
+    """Evaluate a model and package (coords, fields, grads) for residual fns.
+
+    ``apply_with_tangents(x, tangents) -> (y, dy)`` is typically a partial of
+    ``models.mlp.mlp_apply_with_tangents``. ``grad_coords`` names the inputs
+    to differentiate against (the config's ``requires_grad: true`` inputs,
+    reference ``config_CMB.json:48-51``); one fused forward pass produces all
+    of them.
+
+    Returns ``(coord_dict, fields, grads)`` with 1-D ``(N,)`` leaves:
+    ``coord_dict[name]``, ``fields[output]``, ``grads[coord][output]``.
+    """
+    input_names = list(input_names)
+    output_names = list(output_names)
+    grad_coords = list(grad_coords)
+    columns = [input_names.index(c) for c in grad_coords]
+    tangents = jnp.stack(
+        [jnp.zeros_like(coords).at[..., c].set(1.0) for c in columns], axis=0
+    )
+    y, dy = apply_with_tangents(coords, tangents)
+    coord_dict = {name: coords[..., i] for i, name in enumerate(input_names)}
+    fields = {name: y[..., i] for i, name in enumerate(output_names)}
+    grads = {
+        c: {name: dy[k][..., i] for i, name in enumerate(output_names)}
+        for k, c in enumerate(grad_coords)
+    }
+    return coord_dict, fields, grads
+
+
+# ---------------------------------------------------------------------------
+# Registry: config name -> (loss_fn, required coordinate-derivative names)
+# ---------------------------------------------------------------------------
+
+EQUATIONS: dict[str, tuple[Callable, tuple[str, ...]]] = {
+    "continuity_only": (continuity_only, ("x", "y")),
+    "continuity_ftemp": (continuity_ftemp, ("x", "y")),
+    "navier_stokes": (navier_stokes, ("t", "x", "y")),
+    "wave_averaged": (wave_averaged, ("x", "y")),
+}
+
+
+def required_grad_coords(name: str) -> tuple[str, ...]:
+    return EQUATIONS[name][1]
+
+
+def residual_loss(name: str):
+    """Look up a residual loss by its config name."""
+    try:
+        return EQUATIONS[name][0]
+    except KeyError:
+        raise KeyError(
+            f"unknown physics equation {name!r}; available: {sorted(EQUATIONS)}"
+        ) from None

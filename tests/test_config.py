@@ -1,0 +1,123 @@
+import json
+
+import pytest
+
+from pinn_depthestimation_tpu.config import ConfigError, load_config, parse_config
+
+REFERENCE_CONFIGS = [
+    "/root/reference/config_CMB.json",
+    "/root/reference/config_CMB_h.json",
+    "/root/reference/config.json",
+    "/root/reference/config_txyz.json",
+]
+
+
+@pytest.mark.parametrize("path", REFERENCE_CONFIGS)
+def test_reference_configs_parse_verbatim(path):
+    cfg = load_config(path)
+    assert cfg.layers.sizes[0] == cfg.layers.input_features
+    assert cfg.lbfgs.max_it == 50_000
+    assert cfg.lbfgs.max_evaluation == 62_500
+    assert cfg.lbfgs.line_search_fn == "strong_wolfe"
+
+
+def test_cmb_config_fields():
+    cfg = load_config("/root/reference/config_CMB.json")
+    assert cfg.kind == "cmb"
+    assert cfg.layers.sizes == [2] + [10] * 10 + [6]
+    assert cfg.data_fidelity.inputs == ("x", "y")
+    assert cfg.data_fidelity.training_points == 12
+    assert cfg.data_residual.requires_grad == (True, True)
+    assert cfg.data_residual.interval_x == 10
+    assert cfg.output_weight("eta_mean") == 1.0
+    assert cfg.physics == "wave_averaged"
+    assert cfg.snapshot_iteration is None
+
+
+def test_newmethod_config_fields():
+    cfg = load_config("/root/reference/config_CMB_h.json")
+    assert cfg.kind == "newmethod"
+    assert cfg.layers.sizes == [2] + [20] * 100 + [3]
+    assert cfg.data.trues == ("U", "V")
+    assert cfg.data.unknowns == ("h",)
+    assert cfg.data.outputs == ("U", "V", "h")  # true heads then unknown heads
+    assert cfg.physics == "continuity_only"
+    # reference snapshots at iteration 50,000 (train_newmethod.py:141)
+    assert cfg.snapshot_iteration == 50_000
+
+
+def test_legacy_config_dir_key_tolerated():
+    cfg = load_config("/root/reference/config.json")
+    assert cfg.data_fidelity.file.endswith("beach2d_irr.csv")
+    assert cfg.layers.dropout_rate == 0.0          # default for legacy configs
+    assert cfg.layers.init_type == "xavier"
+    assert cfg.data_residual.inputs == ("t", "x", "y", "u", "v")
+    assert cfg.data_residual.requires_grad == (True, True, True, False, False)
+    assert cfg.data_residual.outputs == ("h", "z", "u", "v")
+    assert cfg.weight_residual == 100000
+
+
+def test_scientific_notation_ints():
+    cfg = load_config("/root/reference/config_txyz.json")
+    assert cfg.lbfgs.max_it == 50_000
+    assert isinstance(cfg.lbfgs.max_it, int)
+
+
+def _minimal_raw():
+    return {
+        "layers": {
+            "input_features": 2,
+            "hidden_layers": 2,
+            "hidden_width": 8,
+            "output_features": 3,
+        },
+        "data": {
+            "file": "d.mat",
+            "inputs": {"x": {"requires_grad": ["true"]}, "y": {"requires_grad": ["true"]}},
+            "trues": ["U", "V"],
+            "unknowns": ["h"],
+        },
+    }
+
+
+def test_validation_catches_head_mismatch():
+    raw = _minimal_raw()
+    raw["layers"]["output_features"] = 4
+    with pytest.raises(ConfigError, match="trues\\+unknowns"):
+        parse_config(raw)
+
+
+def test_validation_catches_bad_init_type():
+    raw = _minimal_raw()
+    raw["layers"]["init_type"] = "magic"
+    with pytest.raises(ConfigError, match="init_type"):
+        parse_config(raw)
+
+
+def test_validation_catches_bad_physics():
+    raw = _minimal_raw()
+    raw["physics"] = "warp_drive"
+    with pytest.raises(ConfigError, match="physics"):
+        parse_config(raw)
+
+
+def test_bad_json_reports_path(tmp_path):
+    p = tmp_path / "broken.json"
+    p.write_text("{nope")
+    with pytest.raises(ConfigError, match="broken.json"):
+        load_config(str(p))
+
+
+def test_extensions(tmp_path):
+    raw = _minimal_raw()
+    raw["parity"] = False
+    raw["physics"] = "continuity_ftemp"
+    raw["parallel"] = {"data": 4}
+    raw["seed"] = 7
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(raw))
+    cfg = load_config(str(p))
+    assert cfg.parity is False
+    assert cfg.physics == "continuity_ftemp"
+    assert cfg.parallel.data == 4
+    assert cfg.seed == 7
