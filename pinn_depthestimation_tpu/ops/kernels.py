@@ -1,0 +1,307 @@
+"""Pallas fused MLP kernels: the TPU-native hot path for PINN residuals.
+
+Problem shape (SURVEY.md §3.4): the flagship model is a chain of ~100 tiny
+``(20, 20)`` matmuls over a tall batch of collocation points. Two properties
+make the stock XLA path slow on TPU:
+
+* a width-20 operand occupies 20 of the MXU's 128 lanes — ~2.4% utilization;
+* each layer's activations (+2 tangent streams) round-trip through HBM, so
+  the computation is bandwidth-bound (~500 MB of traffic per layer per
+  million points).
+
+This kernel fixes both:
+
+**Lane packing.** ``G = floor(128 / width)`` points are packed into each
+128-lane row, and every layer weight ``w`` becomes the block-diagonal
+``kron(I_G, w)`` (a ``(128, 128)`` tile). One MXU matmul then advances G
+points through the layer simultaneously — a 6x utilization gain at width 20.
+Dead lanes carry zero weights/biases, so tanh keeps them at exactly 0 and
+results are bit-identical to the unpacked form.
+
+**Full-chain fusion.** The packed activations and K coordinate-tangent
+streams stay in VMEM across all layers (~6 MB of packed weights + a few
+128 KB tiles — well under the ~16 MB budget); HBM sees only the packed
+inputs and the K+1 packed outputs.
+
+The kernel computes exactly what ``models.mlp.mlp_apply_with_tangents``
+computes (same math, same f32 precision by default) and is validated against
+it in tests; ``apply_with_tangents_packed`` is a drop-in substitute, so the
+physics layer (``physics.model_fields_and_grads``) is oblivious to which
+backend produced the derivatives.
+
+``precision='bf16'`` casts weights/activations to bfloat16 with f32
+accumulation for throughput benchmarking and serving; training parity paths
+keep ``'f32'``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pinn_depthestimation_tpu.models.mlp import MLPSpec
+
+LANES = 128
+DEFAULT_ROWS = 256  # packed rows per grid tile (TM)
+
+
+def pallas_supported() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def packing_factor(spec: MLPSpec) -> int:
+    """Points per 128-lane row: limited by the widest per-point block."""
+    per_point = max(spec.width, spec.d_in, spec.d_out)
+    g = LANES // per_point
+    if g < 1:
+        raise ValueError(f"width {per_point} exceeds {LANES} lanes")
+    return g
+
+
+def _block_diag(w: jax.Array, g: int, dtype) -> jax.Array:
+    """``kron(I_g, w)`` zero-padded to (LANES, LANES)."""
+    k = jnp.kron(jnp.eye(g, dtype=w.dtype), w)
+    out = jnp.zeros((LANES, LANES), dtype)
+    return out.at[: k.shape[0], : k.shape[1]].set(k.astype(dtype))
+
+
+def _tile_bias(b: jax.Array, g: int, dtype) -> jax.Array:
+    t = jnp.tile(b, g)
+    out = jnp.zeros((LANES,), dtype)
+    return out.at[: t.shape[0]].set(t.astype(dtype))
+
+
+def pack_params(params: dict, spec: MLPSpec, *, dtype=jnp.float32) -> dict:
+    """Precompute packed block-diagonal weights (jit-safe, runs via XLA)."""
+    g = packing_factor(spec)
+    if spec.n_hidden < 1:
+        raise ValueError("packed kernel needs at least one hidden layer")
+
+    w_in = _block_diag(params["w_in"], g, dtype)      # (128, 128); rows g*d_in+c
+    b_in = _tile_bias(params["b_in"], g, dtype)
+    n_stack = params["w_hidden"].shape[0]
+    if n_stack > 0:
+        w_h = jax.vmap(lambda w: _block_diag(w, g, dtype))(params["w_hidden"])
+        b_h = jax.vmap(lambda b: _tile_bias(b, g, dtype))(params["b_hidden"])
+    else:
+        w_h = jnp.zeros((0, LANES, LANES), dtype)
+        b_h = jnp.zeros((0, LANES), dtype)
+    w_out = _block_diag(params["w_out"], g, dtype)
+    b_out = _tile_bias(params["b_out"], g, dtype)
+
+    # Tangent seed rows: pushing the coordinate-c unit tangent of every packed
+    # point through w_in gives a row-constant vector: sum_g w_in_packed[g*d_in+c].
+    d_in = spec.d_in
+    rows = jnp.arange(g) * d_in
+    t_rows = jnp.stack([jnp.sum(w_in[rows + c], axis=0) for c in range(d_in)])
+
+    return {
+        "g": g,
+        "w_in": w_in,
+        "b_in": b_in.reshape(1, LANES),
+        "w_h": w_h,
+        "b_h": b_h,
+        "w_out": w_out,
+        "b_out": b_out.reshape(1, LANES),
+        "t_rows": t_rows,  # (d_in, 128)
+    }
+
+
+def pack_coords(coords: jax.Array, spec: MLPSpec, g: int, rows_per_tile: int):
+    """(N, d_in) -> padded (M, 128) packed rows; returns (packed, n_rows)."""
+    n = coords.shape[0]
+    d_in = spec.d_in
+    per_row = g * d_in
+    n_pad = (-n) % (g * rows_per_tile)
+    if n_pad:
+        coords = jnp.concatenate(
+            [coords, jnp.broadcast_to(coords[:1], (n_pad, d_in))], axis=0
+        )
+    m = coords.shape[0] // g
+    packed = coords.reshape(m, per_row)
+    packed = jnp.pad(packed, ((0, 0), (0, LANES - per_row)))
+    return packed, n
+
+
+def unpack_outputs(y_packed: jax.Array, n: int, g: int, d_out: int) -> jax.Array:
+    """(M, 128) packed rows -> (n, d_out)."""
+    m = y_packed.shape[0]
+    y = y_packed[:, : g * d_out].reshape(m * g, d_out)
+    return y[:n]
+
+
+def _mlp_kernel(
+    x_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, b_out_ref, t_rows_ref,
+    *out_refs,
+    n_stack: int,
+    n_tangents: int,
+    init_type: str,
+):
+    """Fused packed forward + tangent propagation for one (TM, 128) tile."""
+    f32 = jnp.float32
+
+    def act(z):
+        if init_type == "xavier":
+            return jnp.tanh(z)
+        return jnp.where(z >= 0, z, 0.01 * z)
+
+    def dact(z, a):
+        if init_type == "xavier":
+            return 1.0 - a * a
+        return jnp.where(z >= 0, 1.0, 0.01)
+
+    def matmul(a, w):
+        # cast the activation stream to the weight dtype (bf16 mode) with f32
+        # accumulation; a no-op in f32 mode
+        return jax.lax.dot_general(
+            a.astype(w.dtype), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    x = x_ref[:]
+    z = matmul(x, w_in_ref[:]) + b_in_ref[:]
+    a = act(z)
+    da = dact(z, a)
+    tangents = [t_rows_ref[c : c + 1, :] * da for c in range(n_tangents)]
+
+    def body(l, carry):
+        a, *ts = carry
+        w = w_h_ref[l]
+        z = matmul(a, w) + b_h_ref[pl.ds(l, 1), :]
+        na = act(z)
+        nda = dact(z, na)
+        nts = [matmul(t, w) * nda for t in ts]
+        return (na, *nts)
+
+    if n_stack > 0:
+        a, *tangents = jax.lax.fori_loop(0, n_stack, body, (a, *tangents))
+
+    w_out = w_out_ref[:]
+    out_refs[0][:] = matmul(a, w_out) + b_out_ref[:]
+    for k in range(n_tangents):
+        out_refs[1 + k][:] = matmul(tangents[k], w_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "n_tangents", "rows_per_tile", "precision", "interpret"),
+)
+def packed_mlp_fwd_tangents(
+    params: dict,
+    coords: jax.Array,
+    spec: MLPSpec,
+    n_tangents: int,
+    rows_per_tile: int = DEFAULT_ROWS,
+    precision: str = "f32",
+    interpret: bool = False,
+):
+    """Run the fused kernel. Returns ``(y (N, d_out), dy (n_tangents, N, d_out))``.
+
+    Tangents are the first ``n_tangents`` coordinate directions (in input
+    order), which is what every residual in ``physics`` consumes.
+    """
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    packed = pack_params(params, spec, dtype=dtype)
+    g = packed["g"]
+    x_packed, n = pack_coords(coords.astype(dtype), spec, g, rows_per_tile)
+    m = x_packed.shape[0]
+    n_stack = int(packed["w_h"].shape[0])
+
+    kernel = functools.partial(
+        _mlp_kernel,
+        n_stack=n_stack,
+        n_tangents=n_tangents,
+        init_type=spec.init_type,
+    )
+
+    grid = (m // rows_per_tile,)
+    row_spec = pl.BlockSpec(
+        (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)  # noqa: E731
+
+    out_shape = [jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * (1 + n_tangents)
+    flops_per_tile = 2 * rows_per_tile * LANES * LANES * (n_stack + 2) * (1 + n_tangents)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,                                  # x
+            full(LANES, LANES),                        # w_in
+            full(1, LANES),                            # b_in
+            full(max(n_stack, 1), LANES, LANES),       # w_h
+            full(max(n_stack, 1), LANES),              # b_h
+            full(LANES, LANES),                        # w_out
+            full(1, LANES),                            # b_out
+            full(spec.d_in, LANES),                    # t_rows
+        ],
+        out_specs=[row_spec] * (1 + n_tangents),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_tile * grid[0],
+            bytes_accessed=(m * LANES * 4) * (2 + n_tangents),
+            transcendentals=rows_per_tile * LANES * (n_stack + 1) * grid[0],
+        ),
+        interpret=interpret,
+    )(
+        x_packed,
+        packed["w_in"],
+        packed["b_in"],
+        packed["w_h"] if n_stack else jnp.zeros((1, LANES, LANES), dtype),
+        packed["b_h"] if n_stack else jnp.zeros((1, LANES), dtype),
+        packed["w_out"],
+        packed["b_out"],
+        packed["t_rows"],
+    )
+
+    y = unpack_outputs(outs[0], n, g, spec.d_out)
+    dy = jnp.stack(
+        [unpack_outputs(o, n, g, spec.d_out) for o in outs[1:]], axis=0
+    )
+    return y, dy
+
+
+def apply_with_tangents_packed(
+    params: dict,
+    x: jax.Array,
+    tangents: Sequence[jax.Array] | jax.Array,
+    spec: MLPSpec,
+    *,
+    precision: str = "f32",
+    interpret: bool = False,
+):
+    """Drop-in for ``mlp_apply_with_tangents`` restricted to coordinate-basis
+    tangents in input order (which is all the physics bridge ever requests)."""
+    if isinstance(tangents, jax.Array):
+        k = tangents.shape[0]
+    else:
+        k = len(tangents)
+    return packed_mlp_fwd_tangents(
+        params, x, spec, k, precision=precision, interpret=interpret
+    )
+
+
+def fused_residual_continuity(
+    params, coords, spec, *, precision: str = "f32", interpret: bool = False
+):
+    """Per-point continuity residual via the fused kernel (bench hot path)."""
+    from pinn_depthestimation_tpu import physics
+
+    def awt(x, tangents):
+        return apply_with_tangents_packed(
+            params, x, tangents, spec, precision=precision, interpret=interpret
+        )
+
+    _, fields, grads = physics.model_fields_and_grads(
+        awt, coords, ["x", "y"], ["x", "y"], ["U", "V", "h"]
+    )
+    return physics.continuity_only_residuals(fields, grads)

@@ -1,0 +1,99 @@
+"""Checkpointing: params + optimizer state, with an actual resume path.
+
+The reference pickles the whole ``nn.Module`` every 1000 iterations
+(``model_<iter>.pth``, reference ``train.py:175-179``) and never saves
+optimizer state — L-BFGS history is lost on restart, and there is no resume
+code at all (SURVEY.md §5). This module keeps the ``model_<iter>`` naming and
+cadence but checkpoints the full training state as a pytree:
+
+* default backend: flax msgpack serialization (single ``.msgpack`` file,
+  deterministic, dependency-free restore);
+* optional backend: orbax ``StandardCheckpointer`` for async multi-host runs
+  (``backend='orbax'``).
+
+A checkpoint restores bit-identically: params, optimizer state (Adam moments
+or L-BFGS history ring buffer), and the iteration/eval counters.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree: Any):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, backend: str = "msgpack") -> str:
+    """Serialize a pytree training state. ``path`` excludes the extension."""
+    if backend == "msgpack":
+        from flax import serialization
+
+        blob = serialization.to_bytes(_to_numpy_tree(state))
+        full = path + ".msgpack"
+        tmp = full + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, full)  # atomic: no torn checkpoints on crash
+        return full
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        full = os.path.abspath(path + ".orbax")
+        ckptr.save(full, _to_numpy_tree(state), force=True)
+        ckptr.wait_until_finished()
+        return full
+    raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
+def restore_checkpoint(path: str, target: Any, backend: str | None = None) -> Any:
+    """Restore into the structure of ``target`` (a template pytree)."""
+    if backend is None:
+        backend = "orbax" if path.endswith(".orbax") else "msgpack"
+    if backend == "msgpack":
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return serialization.from_bytes(target, f.read())
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), _to_numpy_tree(target))
+    raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
+def latest_checkpoint(run_dir: str, prefix: str = "model_") -> str | None:
+    """Find the highest-iteration ``model_<iter>.msgpack`` in a run dir."""
+    best, best_it = None, -1
+    pat = re.compile(re.escape(prefix) + r"(\d+)\.(msgpack|orbax)$")
+    if not os.path.isdir(run_dir):
+        return None
+    for name in os.listdir(run_dir):
+        m = pat.match(name)
+        if m and int(m.group(1)) > best_it:
+            best_it = int(m.group(1))
+            best = os.path.join(run_dir, name)
+    return best
+
+
+def checkpoint_due(iteration: int, kind: str) -> bool:
+    """Reference checkpoint cadence.
+
+    CMB: every 1000 iterations (reference ``train.py:175``). newmethod:
+    every 10000 until 45000, then every 1000 (reference
+    ``train_newmethod.py:181-188``).
+    """
+    if iteration <= 0:
+        return False
+    if kind == "newmethod":
+        if iteration <= 45_000:
+            return iteration % 10_000 == 0
+        return iteration % 1000 == 0
+    return iteration % 1000 == 0

@@ -1,0 +1,231 @@
+"""On-device L-BFGS validated against torch.optim.LBFGS and SciPy L-BFGS-B.
+
+The torch comparisons check observable-behavior parity (the reference's
+optimizer, reference ``train.py:116-125``); the SciPy comparison revives the
+deleted ``l_bfgs_b_optimizer`` wrapper's role as a quality oracle
+(SURVEY.md §4 'Optimizer').
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from scipy.optimize import minimize as scipy_minimize
+
+from pinn_depthestimation_tpu.optim import LBFGSOptions, LBFGSRunner, lbfgs_minimize
+
+
+def rosenbrock_jnp(xy):
+    x, y = xy[0], xy[1]
+    return (1.0 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+
+def rosenbrock_np(v):
+    x, y = v
+    return (1.0 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+
+def _torch_lbfgs(fun_torch, x0, **opts):
+    x = torch.tensor(x0, dtype=torch.float32, requires_grad=True)
+    opt = torch.optim.LBFGS([x], **opts)
+
+    evals = [0]
+
+    def closure():
+        opt.zero_grad()
+        loss = fun_torch(x)
+        loss.backward()
+        evals[0] += 1
+        return loss
+
+    opt.step(closure)
+    return x.detach().numpy(), float(fun_torch(x)), evals[0]
+
+
+TORCH_OPTS = dict(
+    lr=1.0, max_iter=200, max_eval=250, history_size=100,
+    tolerance_grad=1e-7, tolerance_change=1e-9, line_search_fn="strong_wolfe",
+)
+JAX_OPTS = LBFGSOptions(
+    lr=1.0, max_iter=200, max_eval=250, history_size=100,
+    tolerance_grad=1e-7, tolerance_change=1e-9, line_search="strong_wolfe",
+)
+
+
+def test_rosenbrock_matches_torch_and_scipy():
+    x0 = np.array([-1.2, 1.0], np.float32)
+
+    x_jax, info = lbfgs_minimize(rosenbrock_jnp, jnp.asarray(x0), JAX_OPTS)
+    x_torch, f_torch, evals_torch = _torch_lbfgs(
+        lambda v: (1 - v[0]) ** 2 + 100 * (v[1] - v[0] ** 2) ** 2, x0, **TORCH_OPTS
+    )
+    res = scipy_minimize(rosenbrock_np, x0.astype(np.float64), method="L-BFGS-B")
+
+    # all three find the (1, 1) minimum
+    np.testing.assert_allclose(np.asarray(x_jax), [1.0, 1.0], atol=1e-3)
+    np.testing.assert_allclose(x_torch, [1.0, 1.0], atol=1e-3)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-5)
+    assert info["fun"] < 1e-8
+    assert f_torch < 1e-8
+    # comparable evaluation budget to torch (identical semantics up to f32
+    # kernel roundoff steering the line search slightly differently)
+    assert info["nfev"] <= 2 * evals_torch + 10
+
+
+def test_quadratic_matches_torch_trajectory():
+    """On a convex quadratic the first steps are deterministic enough that
+    torch and the JAX implementation should land on the same parameters."""
+    rs = np.random.RandomState(0)
+    A = rs.randn(8, 8).astype(np.float32)
+    A = A @ A.T + 8 * np.eye(8, dtype=np.float32)
+    b = rs.randn(8).astype(np.float32)
+    x0 = np.zeros(8, np.float32)
+
+    fun_jnp = lambda x: 0.5 * x @ jnp.asarray(A) @ x - jnp.asarray(b) @ x  # noqa: E731
+    x_jax, info = lbfgs_minimize(fun_jnp, jnp.asarray(x0), JAX_OPTS)
+
+    At, bt = torch.tensor(A), torch.tensor(b)
+    x_torch, f_torch, _ = _torch_lbfgs(
+        lambda v: 0.5 * v @ At @ v - bt @ v, x0, **TORCH_OPTS
+    )
+
+    x_star = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(x_jax), x_star, atol=1e-4)
+    np.testing.assert_allclose(x_torch, x_star, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_jax), x_torch, atol=5e-4)
+
+
+def test_pytree_parameters():
+    """Optimization over a dict pytree (the real use: model params)."""
+
+    def fun(p):
+        return jnp.sum((p["a"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 4)
+
+    x0 = {"a": jnp.zeros((3, 2)), "b": jnp.zeros(4)}
+    x, info = lbfgs_minimize(fun, x0, LBFGSOptions(max_iter=100, tolerance_grad=1e-9))
+    np.testing.assert_allclose(np.asarray(x["a"]), 3.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x["b"]), -1.0, atol=2e-2)  # quartic flat
+    assert info["fun"] < 1e-6
+
+
+def test_small_history_ring_buffer():
+    """history_size smaller than the iteration count exercises the ring."""
+    rs = np.random.RandomState(1)
+    A = rs.randn(20, 20).astype(np.float32)
+    A = A @ A.T + np.eye(20, dtype=np.float32)
+    b = rs.randn(20).astype(np.float32)
+    fun = lambda x: 0.5 * x @ jnp.asarray(A) @ x - jnp.asarray(b) @ x  # noqa: E731
+
+    x, info = lbfgs_minimize(
+        fun, jnp.zeros(20), LBFGSOptions(max_iter=300, history_size=3, tolerance_grad=1e-6)
+    )
+    x_star = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_star, atol=1e-3)
+    assert info["nit"] > 3  # actually cycled the buffer
+
+
+def test_max_eval_stop():
+    x, info = lbfgs_minimize(
+        rosenbrock_jnp, jnp.asarray([-1.2, 1.0]), LBFGSOptions(max_iter=1000, max_eval=7)
+    )
+    assert info["reason"] == "max_eval"
+    assert info["nfev"] >= 7
+    # may overshoot by at most one line search (torch checks post-iteration)
+    assert info["nfev"] <= 7 + 26
+
+
+def test_max_iter_stop():
+    x, info = lbfgs_minimize(
+        rosenbrock_jnp, jnp.asarray([-1.2, 1.0]), LBFGSOptions(max_iter=3, max_eval=10_000)
+    )
+    assert info["reason"] == "max_iter"
+    assert info["nit"] == 3
+
+
+def test_tolerance_grad_stop_at_optimum():
+    x, info = lbfgs_minimize(
+        lambda v: jnp.sum(v**2), jnp.zeros(4), LBFGSOptions(max_iter=100)
+    )
+    # gradient is zero at the start: must stop after the initial evaluation
+    assert info["reason"] == "tolerance_grad"
+    assert info["nfev"] == 1
+    assert info["nit"] == 0
+
+
+def test_no_line_search_mode():
+    fun = lambda x: jnp.sum((x - 2.0) ** 2)  # noqa: E731
+    x, info = lbfgs_minimize(
+        fun,
+        jnp.zeros(3),
+        LBFGSOptions(lr=0.5, max_iter=50, line_search="none", tolerance_grad=1e-6),
+    )
+    np.testing.assert_allclose(np.asarray(x), 2.0, atol=1e-4)
+
+
+def test_records_capture_every_evaluation():
+    x, info = lbfgs_minimize(
+        rosenbrock_jnp, jnp.asarray([-1.2, 1.0]), LBFGSOptions(max_iter=20, max_eval=100)
+    )
+    hist = info["history"]
+    assert hist.shape == (info["nfev"], 3)
+    # every record row: total == fid (aux wiring in lbfgs_minimize), finite
+    assert np.isfinite(hist).all()
+    np.testing.assert_allclose(hist[:, 0], hist[:, 2], rtol=1e-6)
+    # first record is f(x0)
+    np.testing.assert_allclose(hist[0, 2], rosenbrock_np([-1.2, 1.0]), rtol=1e-5)
+
+
+def test_chunked_runner_equals_single_run():
+    """Tiny record buffers force many host re-entries; the trajectory must be
+    identical to one uninterrupted run (chunking is pure bookkeeping)."""
+
+    def loss_fn(params, batch):
+        del batch
+        v = rosenbrock_jnp(params)
+        return v, (v, jnp.zeros_like(v))
+
+    opts = LBFGSOptions(max_iter=60, max_eval=200)
+    x0 = jnp.asarray([-1.2, 1.0])
+
+    big = LBFGSRunner(loss_fn, x0, opts, record_capacity=8192)
+    s = big.init(x0, None)
+    chunks_big = 0
+    while not big.finished(s):
+        s, _ = big.run_chunk(s, None)
+        chunks_big += 1
+    x_big, f_big = np.asarray(big.get_params(s)), float(s.f)
+
+    small = LBFGSRunner(loss_fn, x0, opts, record_capacity=40)
+    s2 = small.init(x0, None)
+    chunks_small = 0
+    while not small.finished(s2):
+        s2, _ = small.run_chunk(s2, None)
+        chunks_small += 1
+    x_small, f_small = np.asarray(small.get_params(s2)), float(s2.f)
+
+    assert chunks_small > chunks_big
+    np.testing.assert_array_equal(x_big, x_small)
+    assert f_big == f_small
+    assert int(s.func_evals) == int(s2.func_evals)
+
+
+def test_wolfe_conditions_hold_on_accepted_steps():
+    """Accepted line-search steps satisfy Armijo; spot-check via records:
+    the loss after each iteration never exceeds the Armijo bound by much."""
+    x, info = lbfgs_minimize(
+        rosenbrock_jnp, jnp.asarray([-1.2, 1.0]), LBFGSOptions(max_iter=50)
+    )
+    totals = info["history"][:, 2]
+    # monotone trend: final loss far below initial, no wild blowups recorded
+    assert totals[-1] < totals[0]
+    assert np.max(totals) <= totals[0] * 50  # bracketing may probe larger steps
+
+
+@pytest.mark.parametrize("n", [2, 37, 129])
+def test_dimension_robustness(n):
+    rs = np.random.RandomState(n)
+    target = rs.randn(n).astype(np.float32)
+    fun = lambda x: jnp.sum((x - jnp.asarray(target)) ** 2)  # noqa: E731
+    x, info = lbfgs_minimize(fun, jnp.zeros(n), LBFGSOptions(max_iter=50))
+    np.testing.assert_allclose(np.asarray(x), target, atol=1e-4)

@@ -1,0 +1,204 @@
+"""End-to-end training-driver tests on synthetic data (SURVEY.md §7 step 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinn_depthestimation_tpu import data as data_mod
+from pinn_depthestimation_tpu.config import parse_config
+from pinn_depthestimation_tpu.training import Trainer
+from pinn_depthestimation_tpu.training.logging_utils import read_log
+from pinn_depthestimation_tpu.utils import synthetic
+
+
+def _newmethod_raw(mat, adam_it=60, lbfgs_it=15, width=16, layers=3):
+    return {
+        "layers": {"input_features": 2, "hidden_layers": layers, "hidden_width": width,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": adam_it, "learning_rate": 1e-3,
+                           "scheduler_step_size": 30, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": lbfgs_it, "learning_rate": 1,
+                            "max_evaluation": round(lbfgs_it * 1.25), "history_size": 10,
+                            "tolerance_grad": 1e-9, "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+
+
+@pytest.fixture
+def newmethod_setup(tmp_path):
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=16, ny=20, nan_fraction=0.05, seed=2)
+    return mat, tmp_path
+
+
+def test_newmethod_end_to_end(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat))
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train()
+
+    epochs, fids, ress, totals = read_log(run_dir)
+    # one row per loss evaluation: 60 adam + >= 1 lbfgs evals
+    assert epochs[0] == 1 and len(epochs) >= 61
+    assert epochs == list(range(1, len(epochs) + 1))
+    assert all(np.isfinite(v) for v in totals)
+    # training actually reduces the loss
+    assert totals[-1] < totals[0] * 0.9
+    # L-BFGS phase improves on the Adam phase result
+    assert min(totals[61:]) <= totals[59]
+    # final model saved (reference train.py:288)
+    assert os.path.exists(os.path.join(run_dir, "model.msgpack"))
+
+
+def test_log_schema_matches_reference(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=5, lbfgs_it=0))
+    run_dir = str(tmp_path / "runlog")
+    os.makedirs(run_dir)
+    Trainer(cfg, run_dir=run_dir, echo_every=0).train()
+    with open(os.path.join(run_dir, "log.txt")) as f:
+        lines = f.readlines()
+    assert lines[0] == "Epoch, Fidelity Loss, Residual Loss, Total Loss\n"
+    parts = lines[1].split(", ")
+    assert parts[0] == "1"
+    for p in parts[1:]:
+        float(p)  # %.5e formatted
+        assert "e" in p
+
+
+def test_snapshot_written_at_configured_iteration(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=20, lbfgs_it=5)
+    raw["snapshot_iteration"] = 20  # analog of the reference's 50,000
+    cfg = parse_config(raw)
+    run_dir = str(tmp_path / "runsnap")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train()
+    from scipy.io import loadmat
+
+    snap = loadmat(os.path.join(run_dir, "data_at20.mat"))
+    # keys pred_<var> for trues then unknowns (reference train_newmethod.py:144-148)
+    for key in ("pred_U", "pred_V", "pred_h"):
+        assert key in snap
+        assert snap[key].shape == (tr.data.residual_input.shape[0], 1)
+        assert np.isfinite(snap[key]).all()
+
+
+def test_checkpoint_resume_bit_identical(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    # run A: 40 adam steps straight through
+    cfg = parse_config(_newmethod_raw(mat, adam_it=40, lbfgs_it=0))
+    run_a = str(tmp_path / "a"); os.makedirs(run_a)
+    tr_a = Trainer(cfg, run_dir=run_a, echo_every=0)
+    tr_a.train_adam()
+
+    # run B: 40 steps with a save/restore roundtrip at step 20
+    cfg_b1 = parse_config(_newmethod_raw(mat, adam_it=20, lbfgs_it=0))
+    run_b = str(tmp_path / "b"); os.makedirs(run_b)
+    tr_b = Trainer(cfg_b1, run_dir=run_b, echo_every=0)
+    tr_b.train_adam()
+    path = tr_b.save("model_20")
+
+    cfg_b2 = parse_config(_newmethod_raw(mat, adam_it=40, lbfgs_it=0))
+    tr_b2 = Trainer(cfg_b2, run_dir=run_b, echo_every=0)
+    tr_b2.restore(path)
+    assert tr_b2.state.iteration == 20
+    tr_b2.train_adam()
+
+    pa = tr_a.state.params
+    pb = tr_b2.state.params
+    for ka in pa:
+        np.testing.assert_array_equal(np.asarray(pa[ka]), np.asarray(pb[ka]))
+
+
+def test_lbfgs_records_flow_into_log(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=0, lbfgs_it=10))
+    run_dir = str(tmp_path / "runl")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train()
+    epochs, fids, ress, totals = read_log(run_dir)
+    # lbfgs-only: at least initial eval + some line-search evals
+    assert len(epochs) >= 2
+    assert totals[-1] <= totals[0]
+
+
+def _cmb_setup(tmp_path, **kw):
+    csv = str(tmp_path / "fid.csv")
+    mat = str(tmp_path / "res.mat")
+    synthetic.make_cmb_dataset(csv, mat, nx=15, ny=19, n_csv=80, seed=7)
+    raw = {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 12,
+                   "output_features": 6, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": kw.get("adam_it", 30), "learning_rate": 1e-3,
+                           "scheduler_step_size": 20, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": kw.get("lbfgs_it", 5), "learning_rate": 1,
+                            "max_evaluation": 20, "history_size": 10,
+                            "tolerance_grad": 1e-9, "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1,
+                 "weight_h_loss": 2, "weight_U_loss": 1, "weight_V_loss": 1,
+                 "weight_eta_mean_loss": 1, "weight_Hrms_loss": 0.5, "weight_k_loss": 1},
+        "data_fidelity": {"file": csv, "inputs": ["x", "y"],
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "training_points": 50},
+        "data_residual": {"file": mat,
+                          "inputs": {"x": {"requires_grad": ["true"]},
+                                     "y": {"requires_grad": ["true"]}},
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "snapshots": [1], "interval_x": 2, "interval_y": 2},
+        "data_test": {"file": mat, "inputs": {"x": {"requires_grad": ["true"]},
+                                              "y": {"requires_grad": ["true"]}},
+                      "outputs": ["h", "U", "V"], "nx": 15, "ny": 19,
+                      "x_min": 25.0, "x_max": 33.0, "y_min": -13.0, "y_max": 13.0},
+    }
+    raw.update(kw.get("extra", {}))
+    return parse_config(raw)
+
+
+def test_cmb_end_to_end(tmp_path):
+    cfg = _cmb_setup(tmp_path)
+    assert cfg.physics == "wave_averaged"
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train()
+    epochs, fids, ress, totals = read_log(run_dir)
+    assert len(epochs) >= 31
+    assert all(np.isfinite(v) for v in totals)
+    assert totals[-1] < totals[0]
+
+
+def test_empty_batch_refused(tmp_path):
+    from scipy.io import savemat
+
+    mat = str(tmp_path / "empty.mat")
+    savemat(mat, {"x": np.zeros((4, 1)), "y": np.zeros((4, 1)),
+                  "U": np.full((4, 1), np.nan), "V": np.full((4, 1), np.nan)})
+    cfg = parse_config(_newmethod_raw(mat))
+    with pytest.raises(ValueError, match="empty"):
+        Trainer(cfg, run_dir=str(tmp_path), echo_every=0)
+
+
+def test_dropout_training_runs(newmethod_setup):
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=10, lbfgs_it=0)
+    raw["layers"]["dropout_rate"] = 0.2
+    cfg = parse_config(raw)
+    run_dir = str(tmp_path / "rundrop")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train_adam()
+    epochs, *_ , totals = read_log(run_dir)
+    assert len(epochs) == 10 and all(np.isfinite(v) for v in totals)
