@@ -1,0 +1,90 @@
+"""Residual-throughput benchmark (packaged; ``bench.py`` at the repo root and
+``pinn-tpu bench`` both delegate here).
+
+Metric (BASELINE.md north star): collocation-point residual evaluations per
+second per chip on the flagship newmethod configuration (2 -> [20]*100 -> 3
+MLP, ``continuity_only`` residual: forward + x/y tangent propagation +
+residual algebra per point), at reference-equivalent f32 precision. The
+north-star target is 1e8/s on a v5e-8 slice == 1.25e7 per chip.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 1e8 / 8
+
+
+def residual_eval_fn(spec, backend: str = "auto", precision: str = "f32"):
+    """Returns (f(params, coords) -> per-point residual, backend_name)."""
+    from pinn_depthestimation_tpu import physics
+    from pinn_depthestimation_tpu.models import mlp_apply_with_tangents
+    from pinn_depthestimation_tpu.ops import kernels
+
+    if backend == "auto":
+        backend = "pallas" if kernels.pallas_supported() else "xla"
+
+    if backend == "pallas":
+        def fn(params, coords):
+            return kernels.fused_residual_continuity(
+                params, coords, spec, precision=precision
+            )
+        return fn, f"pallas-{precision}"
+
+    def fn(params, coords):
+        awt = functools.partial(mlp_apply_with_tangents, params, spec=spec)
+        _, fields, grads = physics.model_fields_and_grads(
+            awt, coords, ["x", "y"], ["x", "y"], ["U", "V", "h"]
+        )
+        return physics.continuity_only_residuals(fields, grads)
+
+    return fn, "xla"
+
+
+def run_residual_bench(
+    *,
+    n_points: int = 1 << 22,
+    backend: str = "auto",
+    precision: str = "f32",
+    reps: int = 7,
+) -> dict:
+    from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    spec = MLPSpec(sizes=(2,) + (20,) * 100 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (n_points, 2)), jnp.float32
+    )
+
+    fn, backend_name = residual_eval_fn(spec, backend, precision)
+    run = jax.jit(lambda p, c: jnp.sum(fn(p, c) ** 2))
+
+    # Sync by fetching the scalar: through the remote-TPU tunnel,
+    # block_until_ready alone does NOT reliably wait.
+    float(run(params, coords))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(params, coords))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median: robust to tunnel jitter
+
+    evals_per_sec = n_points / dt
+    return {
+        "metric": f"residual_evals_per_sec_per_chip[{backend_name}]",
+        "value": round(evals_per_sec, 1),
+        "unit": "collocation-point residual evals/s/chip (2->[20]x100->3 MLP, continuity)",
+        "vs_baseline": round(evals_per_sec / PER_CHIP_TARGET, 4),
+    }
+
+
+def main() -> None:
+    print(json.dumps(run_residual_bench()))

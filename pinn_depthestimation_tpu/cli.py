@@ -1,0 +1,165 @@
+"""Command-line interface.
+
+The reference has no CLI: config filenames are hardcoded per entry script
+(reference ``train.py:35``, ``test.py:137``) and runs start with
+``python train.py``. Here every pipeline is one binary with the config
+promoted to a flag (SURVEY.md §5 'Config / flag system'):
+
+    pinn-tpu train --config config_CMB_h.json [--log-root ../log]
+                   [--resume CKPT] [--mesh N] [--run-name NAME]
+    pinn-tpu test  --config config_CMB.json [--model CKPT]
+    pinn-tpu bench
+    pinn-tpu synth --out DIR [--nx 81 --ny 261]
+    pinn-tpu plot-log --run-dir DIR
+
+Exit codes follow the reference's behavior of exiting nonzero on unreadable
+config/model (reference ``test.py:40-42,139-141``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_config_arg(p):
+    p.add_argument("--config", required=True, help="JSON config (reference schema)")
+
+
+def cmd_train(args) -> int:
+    from pinn_depthestimation_tpu import parallel
+    from pinn_depthestimation_tpu.config import load_config
+    from pinn_depthestimation_tpu.training import Trainer
+    from pinn_depthestimation_tpu.training.logging_utils import make_run_dir
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    try:
+        config = load_config(args.config)
+    except Exception as e:
+        print(f"Error reading config file: {e}")
+        return 1
+    mesh = None
+    if args.mesh:
+        mesh = parallel.make_mesh(args.mesh)
+    elif config.parallel.data:
+        mesh = parallel.make_mesh(config.parallel.data, config.parallel.model)
+
+    run_dir = make_run_dir(args.log_root, args.run_name)
+    print(f"Run directory: {run_dir}")
+    trainer = Trainer(config, run_dir=run_dir, mesh=mesh)
+    if args.resume:
+        trainer.restore(args.resume)
+        print(f"Resumed from {args.resume} at iteration {trainer.state.iteration}")
+
+    import time
+
+    start = time.time()
+    trainer.train()
+    elapsed = time.time() - start
+    # the reference's only perf instrumentation (train.py:286)
+    print("Training time: %.4f" % elapsed)
+    return 0
+
+
+def cmd_test(args) -> int:
+    from pinn_depthestimation_tpu.config import load_config
+    from pinn_depthestimation_tpu.inference import Predictor
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    try:
+        config = load_config(args.config)
+    except Exception as e:
+        print(f"Error reading config file: {e}")
+        return 1
+    try:
+        predictor = Predictor(config, checkpoint_path=args.model)
+    except Exception as e:
+        print(f"Error loading model: {e}")
+        return 1
+    result = predictor.run()
+    for key, arr in result.pred.items():
+        print(f"pred_{key}: shape {arr.shape}, mean {float(arr.mean()):.5f}")
+    if args.save:
+        from scipy.io import savemat
+
+        savemat(args.save, {f"pred_{k}": v for k, v in result.pred.items()})
+        print(f"Predictions saved to {args.save}")
+    print("Prediction done!")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from pinn_depthestimation_tpu.benchmarks import main as bench_main
+
+    bench_main()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import os
+
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    os.makedirs(args.out, exist_ok=True)
+    mat = os.path.join(args.out, "data_synth.mat")
+    synthetic.make_newmethod_mat(mat, nx=args.nx, ny=args.ny, seed=args.seed)
+    csv = os.path.join(args.out, "input_fid.csv")
+    res = os.path.join(args.out, "input_res.mat")
+    synthetic.make_cmb_dataset(csv, res, nx=args.nx, ny=args.ny, seed=args.seed)
+    print(f"Wrote {mat}, {csv}, {res}")
+    return 0
+
+
+def cmd_plot_log(args) -> int:
+    from pinn_depthestimation_tpu.plotting import plot_log
+
+    path = plot_log(args.run_dir, args.out or args.run_dir)
+    print(f"Wrote {path}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pinn-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a PINN from a reference-schema config")
+    _add_config_arg(t)
+    t.add_argument("--log-root", default="./log")
+    t.add_argument("--run-name", default=None, help="run dir name (default: timestamp)")
+    t.add_argument("--resume", default=None, help="checkpoint to resume from")
+    t.add_argument("--mesh", type=int, default=None, help="data-parallel mesh size")
+    t.set_defaults(fn=cmd_train)
+
+    te = sub.add_parser("test", help="run inference (+ optional physics adaptation)")
+    _add_config_arg(te)
+    te.add_argument("--model", default=None, help="checkpoint (default: data_test.model)")
+    te.add_argument("--save", default=None, help="write predictions to this .mat")
+    te.set_defaults(fn=cmd_test)
+
+    b = sub.add_parser("bench", help="residual-throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("synth", help="generate synthetic datasets (reference schema)")
+    s.add_argument("--out", required=True)
+    s.add_argument("--nx", type=int, default=81)
+    s.add_argument("--ny", type=int, default=261)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_synth)
+
+    pl = sub.add_parser("plot-log", help="loss curves from a run dir's log.txt")
+    pl.add_argument("--run-dir", required=True)
+    pl.add_argument("--out", default=None)
+    pl.set_defaults(fn=cmd_plot_log)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

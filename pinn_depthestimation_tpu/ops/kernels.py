@@ -29,9 +29,16 @@ it in tests; ``apply_with_tangents_packed`` is a drop-in substitute, so the
 physics layer (``physics.model_fields_and_grads``) is oblivious to which
 backend produced the derivatives.
 
-``precision='bf16'`` casts weights/activations to bfloat16 with f32
-accumulation for throughput benchmarking and serving; training parity paths
-keep ``'f32'``.
+Precision tiers (``precision=``):
+
+* ``'f32'``  — f32 storage, ``Precision.HIGHEST`` dots (true f32 via
+  multi-pass bf16 on the MXU). Matches the XLA reference path to f32
+  roundoff. (``Precision.HIGH``/TF32 is not lowerable by Mosaic on this
+  stack, so there is no intermediate tier.)
+* ``'bf16'`` — bf16 storage and single-pass MXU with f32 accumulation:
+  serving/throughput mode — the TPU analog of the TF32 matmuls a torch/A100
+  run of the reference would silently use. Biases and accumulators stay f32
+  in every tier.
 """
 
 from __future__ import annotations
@@ -48,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pinn_depthestimation_tpu.models.mlp import MLPSpec
 
 LANES = 128
-DEFAULT_ROWS = 256  # packed rows per grid tile (TM)
+DEFAULT_ROWS = 1024  # packed rows per grid tile (TM); best of {256,512,1024} on v5e
 
 
 def pallas_supported() -> bool:
@@ -80,29 +87,40 @@ def _tile_bias(b: jax.Array, g: int, dtype) -> jax.Array:
     return out.at[: t.shape[0]].set(t.astype(dtype))
 
 
+_DOT_PRECISION = {
+    "f32": jax.lax.Precision.HIGHEST,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+
+
 def pack_params(params: dict, spec: MLPSpec, *, dtype=jnp.float32) -> dict:
     """Precompute packed block-diagonal weights (jit-safe, runs via XLA)."""
     g = packing_factor(spec)
     if spec.n_hidden < 1:
         raise ValueError("packed kernel needs at least one hidden layer")
 
+    f32 = jnp.float32
     w_in = _block_diag(params["w_in"], g, dtype)      # (128, 128); rows g*d_in+c
-    b_in = _tile_bias(params["b_in"], g, dtype)
+    b_in = _tile_bias(params["b_in"], g, f32)
     n_stack = params["w_hidden"].shape[0]
     if n_stack > 0:
         w_h = jax.vmap(lambda w: _block_diag(w, g, dtype))(params["w_hidden"])
-        b_h = jax.vmap(lambda b: _tile_bias(b, g, dtype))(params["b_hidden"])
+        # biases stay f32: added post-matmul in f32, and bf16 (m, 128) memrefs
+        # reject dynamic row loads under Mosaic's 16-row alignment rule
+        b_h = jax.vmap(lambda b: _tile_bias(b, g, f32))(params["b_hidden"])
     else:
         w_h = jnp.zeros((0, LANES, LANES), dtype)
-        b_h = jnp.zeros((0, LANES), dtype)
+        b_h = jnp.zeros((0, LANES), f32)
     w_out = _block_diag(params["w_out"], g, dtype)
-    b_out = _tile_bias(params["b_out"], g, dtype)
+    b_out = _tile_bias(params["b_out"], g, f32)
 
     # Tangent seed rows: pushing the coordinate-c unit tangent of every packed
     # point through w_in gives a row-constant vector: sum_g w_in_packed[g*d_in+c].
     d_in = spec.d_in
     rows = jnp.arange(g) * d_in
-    t_rows = jnp.stack([jnp.sum(w_in[rows + c], axis=0) for c in range(d_in)])
+    t_rows = jnp.stack(
+        [jnp.sum(w_in[rows + c].astype(f32), axis=0) for c in range(d_in)]
+    )
 
     return {
         "g": g,
@@ -145,6 +163,7 @@ def _mlp_kernel(
     n_stack: int,
     n_tangents: int,
     init_type: str,
+    dot_precision,
 ):
     """Fused packed forward + tangent propagation for one (TM, 128) tile."""
     f32 = jnp.float32
@@ -161,33 +180,44 @@ def _mlp_kernel(
 
     def matmul(a, w):
         # cast the activation stream to the weight dtype (bf16 mode) with f32
-        # accumulation; a no-op in f32 mode
+        # accumulation; a no-op in f32 modes
         return jax.lax.dot_general(
-            a.astype(w.dtype), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+            precision=dot_precision, preferred_element_type=f32,
         )
 
     x = x_ref[:]
+    tm = x.shape[0]
     z = matmul(x, w_in_ref[:]) + b_in_ref[:]
     a = act(z)
     da = dact(z, a)
-    tangents = [t_rows_ref[c : c + 1, :] * da for c in range(n_tangents)]
 
-    def body(l, carry):
-        a, *ts = carry
-        w = w_h_ref[l]
-        z = matmul(a, w) + b_h_ref[pl.ds(l, 1), :]
-        na = act(z)
-        nda = dact(z, na)
-        nts = [matmul(t, w) * nda for t in ts]
-        return (na, *nts)
+    # Stack the primal and the K tangent streams along the row (sublane) axis:
+    # each layer then advances all streams with ONE (K+1)*TM x 128 x 128
+    # matmul — a taller M keeps the MXU pipeline full vs three TM-row matmuls.
+    streams = jnp.concatenate(
+        [a] + [t_rows_ref[c : c + 1, :] * da for c in range(n_tangents)], axis=0
+    )
+
+    def split(s):
+        return s[:tm], [s[(1 + k) * tm : (2 + k) * tm] for k in range(n_tangents)]
+
+    def body(l, streams):
+        zs = matmul(streams, w_h_ref[l])
+        z_a, z_ts = split(zs)
+        z_a = z_a + b_h_ref[pl.ds(l, 1), :]
+        na = act(z_a)
+        nda = dact(z_a, na)
+        return jnp.concatenate([na] + [zt * nda for zt in z_ts], axis=0)
 
     if n_stack > 0:
-        a, *tangents = jax.lax.fori_loop(0, n_stack, body, (a, *tangents))
+        streams = jax.lax.fori_loop(0, n_stack, body, streams)
 
-    w_out = w_out_ref[:]
-    out_refs[0][:] = matmul(a, w_out) + b_out_ref[:]
+    ys = matmul(streams, w_out_ref[:])
+    y_a, y_ts = split(ys)
+    out_refs[0][:] = y_a + b_out_ref[:]
     for k in range(n_tangents):
-        out_refs[1 + k][:] = matmul(tangents[k], w_out)
+        out_refs[1 + k][:] = y_ts[k]
 
 
 @functools.partial(
@@ -208,10 +238,12 @@ def packed_mlp_fwd_tangents(
     Tangents are the first ``n_tangents`` coordinate directions (in input
     order), which is what every residual in ``physics`` consumes.
     """
+    if precision not in _DOT_PRECISION:
+        raise ValueError(f"precision must be one of {sorted(_DOT_PRECISION)}")
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     packed = pack_params(params, spec, dtype=dtype)
     g = packed["g"]
-    x_packed, n = pack_coords(coords.astype(dtype), spec, g, rows_per_tile)
+    x_packed, n = pack_coords(coords.astype(jnp.float32), spec, g, rows_per_tile)
     m = x_packed.shape[0]
     n_stack = int(packed["w_h"].shape[0])
 
@@ -220,6 +252,7 @@ def packed_mlp_fwd_tangents(
         n_stack=n_stack,
         n_tangents=n_tangents,
         init_type=spec.init_type,
+        dot_precision=_DOT_PRECISION[precision],
     )
 
     grid = (m // rows_per_tile,)
@@ -257,7 +290,7 @@ def packed_mlp_fwd_tangents(
         packed["w_in"],
         packed["b_in"],
         packed["w_h"] if n_stack else jnp.zeros((1, LANES, LANES), dtype),
-        packed["b_h"] if n_stack else jnp.zeros((1, LANES), dtype),
+        packed["b_h"] if n_stack else jnp.zeros((1, LANES), jnp.float32),
         packed["w_out"],
         packed["b_out"],
         packed["t_rows"],

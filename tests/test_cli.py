@@ -1,0 +1,115 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinn_depthestimation_tpu.cli import main
+from pinn_depthestimation_tpu.utils import synthetic
+
+
+@pytest.fixture
+def config_file(tmp_path):
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=10, ny=8, nan_fraction=0.0, seed=8)
+    raw = {
+        "layers": {"input_features": 2, "hidden_layers": 2, "hidden_width": 8,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 5, "learning_rate": 1e-3,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 2, "learning_rate": 1, "max_evaluation": 5,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+        "data_test": {"file": mat,
+                      "inputs": {"x": {"requires_grad": ["true"]},
+                                 "y": {"requires_grad": ["true"]}},
+                      "outputs": ["U", "V", "h"], "nx": 10, "ny": 8,
+                      "x_min": 25.0, "x_max": 33.0, "y_min": -13.0, "y_max": 13.0},
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(raw))
+    return str(p), tmp_path
+
+
+def test_train_then_test_roundtrip(config_file, capsys):
+    config, tmp_path = config_file
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "r1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Training time:" in out  # reference train.py:286 contract
+
+    run_dir = tmp_path / "log" / "r1"
+    assert (run_dir / "log.txt").exists()
+    assert (run_dir / "model.msgpack").exists()
+
+    save = str(tmp_path / "preds.mat")
+    rc = main(["test", "--config", config,
+               "--model", str(run_dir / "model.msgpack"), "--save", save])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Prediction done!" in out  # reference test_newmethod.py:119 contract
+    from scipy.io import loadmat
+
+    preds = loadmat(save)
+    assert preds["pred_h"].shape == (8, 10)
+
+
+def test_resume_flag(config_file, capsys):
+    config, tmp_path = config_file
+    main(["train", "--config", config, "--log-root", str(tmp_path / "log"),
+          "--run-name", "a"])
+    ckpt = str(tmp_path / "log" / "a" / "model.msgpack")
+    rc = main(["train", "--config", config, "--log-root", str(tmp_path / "log"),
+               "--run-name", "b", "--resume", ckpt])
+    assert rc == 0
+    assert "Resumed from" in capsys.readouterr().out
+
+
+def test_bad_config_exits_nonzero(config_file, tmp_path, capsys):
+    bad = tmp_path / "bad.json"
+    bad.write_text("{")
+    rc = main(["test", "--config", str(bad)])
+    assert rc == 1
+    assert "Error reading config file" in capsys.readouterr().out
+
+
+def test_missing_model_exits_nonzero(config_file, capsys):
+    config, tmp_path = config_file
+    rc = main(["test", "--config", config, "--model", "/nonexistent.msgpack"])
+    assert rc == 1
+    assert "Error loading model" in capsys.readouterr().out
+
+
+def test_synth_command(tmp_path, capsys):
+    rc = main(["synth", "--out", str(tmp_path / "synth"), "--nx", "9", "--ny", "7"])
+    assert rc == 0
+    assert (tmp_path / "synth" / "input_fid.csv").exists()
+    assert (tmp_path / "synth" / "input_res.mat").exists()
+
+
+def test_plot_log_command(config_file, capsys):
+    pytest.importorskip("matplotlib")
+    config, tmp_path = config_file
+    main(["train", "--config", config, "--log-root", str(tmp_path / "log"),
+          "--run-name", "c"])
+    run_dir = str(tmp_path / "log" / "c")
+    rc = main(["plot-log", "--run-dir", run_dir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, "log.png"))
+
+
+def test_mesh_flag(config_file):
+    config, tmp_path = config_file
+    rc = main(["train", "--config", config, "--log-root", str(tmp_path / "log"),
+               "--run-name", "m", "--mesh", "8"])
+    assert rc == 0
+    epochs = (tmp_path / "log" / "m" / "log.txt").read_text().splitlines()
+    assert len(epochs) >= 6
+    vals = [float(line.split(", ")[3]) for line in epochs[1:]]
+    assert all(np.isfinite(v) for v in vals)

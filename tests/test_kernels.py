@@ -1,0 +1,132 @@
+"""Packed Pallas kernel vs the XLA reference path (interpret mode on CPU;
+the compiled path is exercised on real TPU by bench.py and verification runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params, mlp_apply_with_tangents
+from pinn_depthestimation_tpu.ops import kernels
+
+
+def _coord_tangents(coords, k):
+    return jnp.stack(
+        [jnp.zeros_like(coords).at[:, c].set(1.0) for c in range(k)], axis=0
+    )
+
+
+@pytest.mark.parametrize("width,d_in,d_out,layers", [
+    (20, 2, 3, 5),     # flagship shape (config_CMB_h)
+    (10, 2, 6, 10),    # CMB shape (config_CMB)
+    (20, 3, 4, 4),     # navier-stokes shape (t, x, y)
+    (64, 2, 3, 3),     # g = 2
+    (128, 2, 2, 2),    # g = 1 (no packing headroom)
+])
+def test_packed_matches_reference(width, d_in, d_out, layers):
+    spec = MLPSpec(sizes=(d_in,) + (width,) * layers + (d_out,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(1), spec)
+    n = 531  # deliberately not divisible by g * rows_per_tile
+    coords = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (n, d_in)), jnp.float32
+    )
+    y, dy = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, d_in, rows_per_tile=8, interpret=True
+    )
+    y_ref, dy_ref = mlp_apply_with_tangents(
+        params, coords, _coord_tangents(coords, d_in), spec
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_kaiming_activation():
+    spec = MLPSpec(sizes=(2, 16, 16, 3), init_type="kaiming")
+    params = init_mlp_params(jax.random.PRNGKey(2), spec)
+    coords = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (64, 2)), jnp.float32)
+    y, dy = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, interpret=True
+    )
+    y_ref, dy_ref = mlp_apply_with_tangents(params, coords, _coord_tangents(coords, 2), spec)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packing_factor():
+    assert kernels.packing_factor(MLPSpec(sizes=(2, 20, 3))) == 6
+    assert kernels.packing_factor(MLPSpec(sizes=(2, 10, 6))) == 12
+    assert kernels.packing_factor(MLPSpec(sizes=(2, 128, 3))) == 1
+    with pytest.raises(ValueError, match="exceeds"):
+        kernels.packing_factor(MLPSpec(sizes=(2, 200, 3)))
+
+
+def test_block_diag_structure():
+    w = jnp.arange(6.0).reshape(2, 3)
+    bd = np.asarray(kernels._block_diag(w, 3, jnp.float32))
+    assert bd.shape == (128, 128)
+    for g in range(3):
+        np.testing.assert_array_equal(bd[2 * g : 2 * g + 2, 3 * g : 3 * g + 3], np.asarray(w))
+    # everything else zero
+    total = np.abs(bd).sum()
+    np.testing.assert_allclose(total, 3 * np.abs(np.asarray(w)).sum())
+
+
+def test_pack_unpack_roundtrip():
+    spec = MLPSpec(sizes=(2, 20, 3))
+    g = kernels.packing_factor(spec)
+    coords = jnp.asarray(np.random.RandomState(3).randn(100, 2), jnp.float32)
+    packed, n = kernels.pack_coords(coords, spec, g, rows_per_tile=8)
+    assert n == 100
+    assert packed.shape[1] == 128
+    assert packed.shape[0] % 8 == 0
+    # lanes beyond g*d_in are zero
+    np.testing.assert_array_equal(np.asarray(packed[:, g * 2 :]), 0.0)
+    # first packed row holds points 0..g-1
+    np.testing.assert_array_equal(
+        np.asarray(packed[0, : g * 2]).reshape(g, 2), np.asarray(coords[:g])
+    )
+
+
+def test_fused_residual_matches_physics(monkeypatch):
+    from pinn_depthestimation_tpu import physics
+    import functools
+
+    spec = MLPSpec(sizes=(2, 20, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(4), spec)
+    coords = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (96, 2)), jnp.float32)
+
+    fc = kernels.fused_residual_continuity(params, coords, spec, interpret=True)
+
+    awt = functools.partial(mlp_apply_with_tangents, params, spec=spec)
+    _, f, g = physics.model_fields_and_grads(
+        awt, coords, ["x", "y"], ["x", "y"], ["U", "V", "h"]
+    )
+    fc_ref = physics.continuity_only_residuals(f, g)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(fc_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_mode_is_close_but_coarser():
+    spec = MLPSpec(sizes=(2, 20, 20, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(5), spec)
+    coords = jnp.asarray(np.random.RandomState(4).uniform(-1, 1, (64, 2)), jnp.float32)
+    y32, _ = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, interpret=True
+    )
+    y16, _ = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, precision="bf16", interpret=True
+    )
+    err = float(jnp.abs(y16 - y32).max())
+    assert err < 0.1          # same function...
+    assert err > 1e-6         # ...at visibly lower precision
+
+
+def test_invalid_precision_rejected():
+    spec = MLPSpec(sizes=(2, 20, 3, ))
+    params = init_mlp_params(jax.random.PRNGKey(6), MLPSpec(sizes=(2, 20, 20, 3)))
+    coords = jnp.zeros((8, 2))
+    with pytest.raises(ValueError, match="precision"):
+        kernels.packed_mlp_fwd_tangents(
+            params, coords, MLPSpec(sizes=(2, 20, 20, 3)), 2,
+            precision="fp8", interpret=True,
+        )
