@@ -52,10 +52,19 @@ def cmd_train(args) -> int:
         trainer.restore(args.resume)
         print(f"Resumed from {args.resume} at iteration {trainer.state.iteration}")
 
+    import contextlib
     import time
 
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        print(f"Profiler trace -> {args.profile}")
+
     start = time.time()
-    trainer.train()
+    with profile_ctx:
+        trainer.train()
     elapsed = time.time() - start
     # the reference's only perf instrumentation (train.py:286)
     print("Training time: %.4f" % elapsed)
@@ -130,6 +139,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--run-name", default=None, help="run dir name (default: timestamp)")
     t.add_argument("--resume", default=None, help="checkpoint to resume from")
     t.add_argument("--mesh", type=int, default=None, help="data-parallel mesh size")
+    t.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test", help="run inference (+ optional physics adaptation)")

@@ -208,6 +208,7 @@ class Config:
     perform_optimization: bool = False
     seed: int = 1234
     dtype: str = "float32"
+    residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``
@@ -445,6 +446,11 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
         perform_optimization=bool(raw.get("perform_optimization", False)),
         seed=_as_int(raw.get("seed", 1234), "seed"),
         dtype=str(raw.get("precision", raw.get("dtype", "float32"))),
+        residual_chunk_size=(
+            _as_int(raw["residual_chunk_size"], "residual_chunk_size")
+            if "residual_chunk_size" in raw
+            else None
+        ),
     )
 
 

@@ -50,7 +50,15 @@ class InferenceResult:
 
 
 class Predictor:
-    def __init__(self, config: Config, checkpoint_path: str | None = None):
+    def __init__(
+        self,
+        config: Config,
+        checkpoint_path: str | None = None,
+        *,
+        use_fused_kernel: bool | None = None,
+    ):
+        """``use_fused_kernel``: route full-grid forward passes through the
+        packed Pallas kernel (defaults to auto: on when running on TPU)."""
         self.config = config
         self.spec = MLPSpec.from_layers(config.layers)
         td = config.data_test
@@ -70,7 +78,20 @@ class Predictor:
                 restored = ckpt_mod.restore_checkpoint(path, params)
                 params = jax.tree.map(jnp.asarray, restored)
         self.params = params
-        self._predict = jax.jit(lambda p, x: mlp_apply(p, x, self.spec))
+        from pinn_depthestimation_tpu.ops import kernels
+
+        if use_fused_kernel is None:
+            use_fused_kernel = (
+                kernels.pallas_supported() and self.spec.n_hidden >= 1
+            )
+        if use_fused_kernel:
+            def fused(p, x):
+                y, _ = kernels.packed_mlp_fwd_tangents(p, x, self.spec, 0)
+                return y
+
+            self._predict = fused  # already jitted internally
+        else:
+            self._predict = jax.jit(lambda p, x: mlp_apply(p, x, self.spec))
 
     # ------------------------------------------------------------- predict
 

@@ -228,6 +228,79 @@ def wave_averaged(coords, fields, grads, *, mask=None, parity: bool = True):
 
 
 # ---------------------------------------------------------------------------
+# Sufficient-statistics forms (for chunked/rematerialized evaluation)
+# ---------------------------------------------------------------------------
+# Every residual loss is a ratio of sums (masked means, possibly over
+# data-dependent subsets like the depth anchor). The ``*_stats`` form returns
+# those sums so collocation batches can be processed in chunks — summing
+# chunk statistics and combining at the end reproduces the full-batch loss
+# EXACTLY (same numerator/denominator), which is what lets 10M+ point
+# training fit in HBM via gradient accumulation + jax.checkpoint.
+
+def _mask_of(values, mask):
+    return jnp.ones_like(values) if mask is None else mask.astype(values.dtype)
+
+
+def continuity_only_stats(
+    coords, fields, grads, *, mask=None, parity=True,
+    anchor_threshold=25.5, anchor_depth=0.75,
+):
+    del parity
+    fc = continuity_only_residuals(fields, grads)
+    m = _mask_of(fc, mask)
+    sel = (coords["x"] < anchor_threshold).astype(fc.dtype) * m
+    return {
+        "sum_fc2": jnp.sum(fc**2 * m),
+        "n": jnp.sum(m),
+        "sum_anchor": jnp.sum(sel * (fields["h"] - anchor_depth) ** 2),
+        "n_anchor": jnp.sum(sel),
+    }
+
+
+def continuity_only_from_stats(s):
+    return s["sum_fc2"] / s["n"] + s["sum_anchor"] / s["n_anchor"]
+
+
+def continuity_ftemp_stats(coords, fields, grads, *, mask=None, parity=True):
+    del coords, parity
+    fc = continuity_only_residuals(fields, grads)
+    m = _mask_of(fc, mask)
+    return {"sum_fc2": jnp.sum(fc**2 * m), "n": jnp.sum(m)}
+
+
+def continuity_ftemp_from_stats(s):
+    return s["sum_fc2"] / s["n"]
+
+
+def navier_stokes_stats(coords, fields, grads, *, mask=None, parity=True):
+    del coords, parity
+    fc, fm_x, fm_y = navier_stokes_residuals(fields, grads)
+    m = _mask_of(fc, mask)
+    return {
+        "sum_fc2": jnp.sum(fc**2 * m),
+        "sum_fx2": jnp.sum(fm_x**2 * m),
+        "sum_fy2": jnp.sum(fm_y**2 * m),
+        "n": jnp.sum(m),
+    }
+
+
+def _three_term_from_stats(s):
+    return (s["sum_fc2"] + s["sum_fx2"] + s["sum_fy2"]) / s["n"]
+
+
+def wave_averaged_stats(coords, fields, grads, *, mask=None, parity=True):
+    del coords
+    fc, fx, fy = wave_averaged_residuals(fields, grads, parity=parity)
+    m = _mask_of(fc, mask)
+    return {
+        "sum_fc2": jnp.sum(fc**2 * m),
+        "sum_fx2": jnp.sum(fx**2 * m),
+        "sum_fy2": jnp.sum(fy**2 * m),
+        "n": jnp.sum(m),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Model -> physics bridge
 # ---------------------------------------------------------------------------
 
@@ -270,23 +343,45 @@ def model_fields_and_grads(
 # Registry: config name -> (loss_fn, required coordinate-derivative names)
 # ---------------------------------------------------------------------------
 
-EQUATIONS: dict[str, tuple[Callable, tuple[str, ...]]] = {
-    "continuity_only": (continuity_only, ("x", "y")),
-    "continuity_ftemp": (continuity_ftemp, ("x", "y")),
-    "navier_stokes": (navier_stokes, ("t", "x", "y")),
-    "wave_averaged": (wave_averaged, ("x", "y")),
+EQUATIONS: dict[str, tuple[Callable, tuple[str, ...], Callable, Callable]] = {
+    "continuity_only": (
+        continuity_only, ("x", "y"), continuity_only_stats, continuity_only_from_stats,
+    ),
+    "continuity_ftemp": (
+        continuity_ftemp, ("x", "y"), continuity_ftemp_stats, continuity_ftemp_from_stats,
+    ),
+    "navier_stokes": (
+        navier_stokes, ("t", "x", "y"), navier_stokes_stats, _three_term_from_stats,
+    ),
+    "wave_averaged": (
+        wave_averaged, ("x", "y"), wave_averaged_stats, _three_term_from_stats,
+    ),
 }
 
 
-def required_grad_coords(name: str) -> tuple[str, ...]:
-    return EQUATIONS[name][1]
-
-
-def residual_loss(name: str):
-    """Look up a residual loss by its config name."""
+def _lookup(name: str):
     try:
-        return EQUATIONS[name][0]
+        return EQUATIONS[name]
     except KeyError:
         raise KeyError(
             f"unknown physics equation {name!r}; available: {sorted(EQUATIONS)}"
         ) from None
+
+
+def required_grad_coords(name: str) -> tuple[str, ...]:
+    return _lookup(name)[1]
+
+
+def residual_loss(name: str):
+    """Look up a residual loss by its config name."""
+    return _lookup(name)[0]
+
+
+def residual_stats(name: str):
+    """Sufficient-statistics form: ``stats_fn(coords, fields, grads, ...)``."""
+    return _lookup(name)[2]
+
+
+def residual_from_stats(name: str):
+    """Combiner: ``loss = combine(tree-summed stats)``."""
+    return _lookup(name)[3]

@@ -82,6 +82,7 @@ class Trainer:
         log_root: str = "./log",
         mesh=None,
         echo_every: int = 1000,
+        initial_params=None,
     ):
         self.config = config
         self.spec = MLPSpec.from_layers(config.layers)
@@ -111,10 +112,18 @@ class Trainer:
         else:
             self.batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
-        self.loss_fn = build_loss_fn(config, self.spec)
+        self.loss_fn = build_loss_fn(
+            config,
+            self.spec,
+            residual_chunk_size=config.residual_chunk_size,
+            input_min_max=self.data.input_min_max,
+        )
         self.optimizer = make_adam_optimizer(config)
 
-        params = init_mlp_params(jax.random.PRNGKey(config.seed), self.spec)
+        if initial_params is not None:
+            params = jax.tree.map(jnp.asarray, initial_params)
+        else:
+            params = init_mlp_params(jax.random.PRNGKey(config.seed), self.spec)
         opt_state = self.optimizer.init(params)
         if mesh is not None:
             params = parallel.replicate(params, mesh)
@@ -203,10 +212,35 @@ class Trainer:
         snapshot semantics of ``train_newmethod.py:141-153``: predictions are
         captured when the evaluation counter *reaches* ``snapshot_iteration``,
         i.e. with the parameters current at that moment)."""
+        import time
+
+        t0 = time.time()
+        start_evals = self.state.iteration
         self.train_adam()
+        t_adam = time.time()
         self._maybe_snapshot()
         self.train_lbfgs()
+        t_lbfgs = time.time()
         self.save("model")  # final save (reference train.py:288)
+
+        # Observability the reference lacks (SURVEY.md §5): per-phase wall
+        # time and collocation-residual throughput (the BASELINE metric).
+        evals = self.state.iteration - start_evals
+        points = int(self.data.residual_input.shape[0])
+        total_t = max(t_lbfgs - t0, 1e-9)
+        self.stats = {
+            "adam_seconds": t_adam - t0,
+            "lbfgs_seconds": t_lbfgs - t_adam,
+            "loss_evaluations": evals,
+            "collocation_points": points,
+            "residual_point_evals_per_sec": evals * points / total_t,
+        }
+        print(
+            f"Phase times: adam {self.stats['adam_seconds']:.1f}s, "
+            f"lbfgs {self.stats['lbfgs_seconds']:.1f}s | "
+            f"{evals} loss evals x {points} collocation pts -> "
+            f"{self.stats['residual_point_evals_per_sec']:.3e} residual point-evals/s"
+        )
 
     def _record(self, losses: np.ndarray) -> None:
         """Flush a (n, 3) loss-history block to log.txt + stdout + checkpoints."""

@@ -51,8 +51,23 @@ def resolve_names(config: Config) -> dict:
     }
 
 
-def build_loss_fn(config: Config, spec: MLPSpec) -> Callable:
-    """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``."""
+def build_loss_fn(
+    config: Config,
+    spec: MLPSpec,
+    *,
+    residual_chunk_size: int | None = None,
+    input_min_max: dict | None = None,
+) -> Callable:
+    """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``.
+
+    ``residual_chunk_size``: evaluate the residual term in fixed-size point
+    chunks under ``jax.checkpoint`` (gradient accumulation over sufficient
+    statistics — numerically the exact full-batch loss). Required for very
+    large collocation sets (10M+ points): the unchunked reverse pass would
+    store every layer's activations for the whole batch (~19 GB/Mpoint for
+    the flagship net), while chunking bounds the live activation memory to
+    one chunk. Defaults to unchunked.
+    """
     names = resolve_names(config)
     fid_outputs = names["fidelity_outputs"]
     net_outputs = names["network_outputs"]
@@ -80,6 +95,26 @@ def build_loss_fn(config: Config, spec: MLPSpec) -> Callable:
     fid_weights = jnp.asarray([config.output_weight(k) for k in fid_outputs], jnp.float32)
     parity = config.parity
 
+    # Quirk-2 toggle (SURVEY.md §5): the reference compares its depth-anchor
+    # threshold (physical 25.5 m) against NORMALIZED x, selecting every point.
+    # parity=True reproduces that; parity=False interprets the threshold in
+    # physical coordinates by mapping it into normalized space (equivalent to
+    # comparing against denormalized x, with no extra data plumbing).
+    equation_kwargs: dict = {}
+    if (
+        not parity
+        and config.physics == "continuity_only"
+        and input_min_max
+        and "x" in input_min_max
+    ):
+        lo, hi = input_min_max["x"]
+        if hi != lo:
+            anchor_raw = config.raw.get("anchor", {})
+            threshold = float(anchor_raw.get("threshold", 25.5))
+            equation_kwargs["anchor_threshold"] = 2 * (threshold - lo) / (hi - lo) - 1
+            if "depth" in anchor_raw:
+                equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
+
     def loss_fn(params, batch, dropout_rng=None):
         # --- fidelity term (reference train.py:131-141)
         pred = mlp_apply(params, batch["fidelity_input"], spec, dropout_rng=dropout_rng)
@@ -96,16 +131,47 @@ def build_loss_fn(config: Config, spec: MLPSpec) -> Callable:
         def apply_with_tangents(x, tangents):
             return mlp_apply_with_tangents(params, x, tangents, spec)
 
-        coords, fields, grads = physics.model_fields_and_grads(
-            apply_with_tangents,
-            batch["residual_input"],
-            residual_inputs,
-            grad_coords,
-            net_outputs,
-        )
-        residual = equation(
-            coords, fields, grads, mask=batch.get("residual_mask"), parity=parity
-        )
+        def bundle(points):
+            return physics.model_fields_and_grads(
+                apply_with_tangents, points, residual_inputs, grad_coords, net_outputs
+            )
+
+        res_input = batch["residual_input"]
+        res_mask = batch.get("residual_mask")
+
+        if residual_chunk_size is None or res_input.shape[0] <= residual_chunk_size:
+            coords, fields, grads = bundle(res_input)
+            residual = equation(
+                coords, fields, grads, mask=res_mask, parity=parity, **equation_kwargs
+            )
+        else:
+            stats_fn = physics.residual_stats(config.physics)
+            combine_fn = physics.residual_from_stats(config.physics)
+            n = res_input.shape[0]
+            chunk = residual_chunk_size
+            pad = (-n) % chunk
+            mask_full = (
+                jnp.ones((n,), res_input.dtype) if res_mask is None else res_mask
+            )
+            if pad:
+                res_input = jnp.concatenate(
+                    [res_input, jnp.broadcast_to(res_input[:1], (pad,) + res_input.shape[1:])]
+                )
+                mask_full = jnp.concatenate([mask_full, jnp.zeros((pad,), mask_full.dtype)])
+            k = res_input.shape[0] // chunk
+            chunks = res_input.reshape(k, chunk, -1)
+            masks = mask_full.reshape(k, chunk)
+
+            @jax.checkpoint
+            def chunk_stats(args):
+                points, m = args
+                coords, fields, grads = bundle(points)
+                return stats_fn(
+                    coords, fields, grads, mask=m, parity=parity, **equation_kwargs
+                )
+
+            stats = jax.lax.map(chunk_stats, (chunks, masks))
+            residual = combine_fn(jax.tree.map(lambda a: jnp.sum(a, axis=0), stats))
 
         total = config.weight_fidelity * fidelity + config.weight_residual * residual
         return total, (fidelity, residual)
