@@ -209,6 +209,7 @@ class Config:
     seed: int = 1234
     dtype: str = "float32"
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
+    fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``
@@ -314,6 +315,15 @@ def _output_names(d: Any) -> tuple[str, ...]:
     if isinstance(d, Mapping):
         return tuple(d.keys())
     return tuple(str(x) for x in d)
+
+
+def _as_fused(value: Any) -> str:
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    v = str(value).lower()
+    if v not in ("auto", "on", "off", "true", "false"):
+        raise ConfigError(f"fused_kernel must be auto/on/off, got {value!r}")
+    return {"true": "on", "false": "off"}.get(v, v)
 
 
 def parse_config(raw: Mapping[str, Any]) -> Config:
@@ -451,6 +461,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
             if "residual_chunk_size" in raw
             else None
         ),
+        fused_kernel=_as_fused(raw.get("fused_kernel", "auto")),
     )
 
 

@@ -57,6 +57,8 @@ def build_loss_fn(
     *,
     residual_chunk_size: int | None = None,
     input_min_max: dict | None = None,
+    fused_kernel: bool = False,
+    fused_interpret: bool = False,
 ) -> Callable:
     """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``.
 
@@ -67,7 +69,14 @@ def build_loss_fn(
     store every layer's activations for the whole batch (~19 GB/Mpoint for
     the flagship net), while chunking bounds the live activation memory to
     one chunk. Defaults to unchunked.
+
+    ``fused_kernel``: route the residual forward+tangent stack through the
+    Pallas custom-VJP kernels (``ops.kernels_vjp``) — O(1) activation memory
+    (no chunking needed) and MXU-speed forward AND backward. Single-device
+    only (a pallas_call does not GSPMD-partition); requires dropout = 0.
     """
+    if fused_kernel:
+        residual_chunk_size = None  # the fused backward is O(1) in activations
     names = resolve_names(config)
     fid_outputs = names["fidelity_outputs"]
     net_outputs = names["network_outputs"]
@@ -88,6 +97,18 @@ def build_loss_fn(
             f"but the config marks {no_grad} as requires_grad=false"
         )
     grad_coords = list(needed)
+    if fused_kernel:
+        # the fused kernel produces tangents for the FIRST k input columns in
+        # order; anything else must fall back to the XLA path
+        cols = [residual_inputs.index(c) for c in grad_coords]
+        if cols != list(range(len(cols))):
+            raise ValueError(
+                "fused_kernel requires the differentiated coordinates to be "
+                f"the leading residual inputs in order; got {grad_coords} "
+                f"within {residual_inputs}"
+            )
+        if spec.dropout_rate:
+            raise ValueError("fused_kernel does not support dropout")
 
     # Fidelity predictions reuse the head order of the *fidelity* outputs:
     # in both pipelines output column i corresponds to fidelity output i
@@ -128,8 +149,16 @@ def build_loss_fn(
         fidelity = jnp.sum(fid_weights * per_output)
 
         # --- residual term (reference train.py:144-154)
-        def apply_with_tangents(x, tangents):
-            return mlp_apply_with_tangents(params, x, tangents, spec)
+        if fused_kernel:
+            from pinn_depthestimation_tpu.ops import kernels_vjp
+
+            def apply_with_tangents(x, tangents):
+                return kernels_vjp.fused_apply_with_tangents(
+                    params, x, spec, tangents.shape[0], "f32", fused_interpret
+                )
+        else:
+            def apply_with_tangents(x, tangents):
+                return mlp_apply_with_tangents(params, x, tangents, spec)
 
         def bundle(points):
             return physics.model_fields_and_grads(

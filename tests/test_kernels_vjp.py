@@ -1,0 +1,203 @@
+"""Fused custom-VJP kernel vs jax.grad of the XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params, mlp_apply_with_tangents
+from pinn_depthestimation_tpu.ops import kernels_vjp
+
+
+def _coord_tangents(coords, k):
+    return jnp.stack(
+        [jnp.zeros_like(coords).at[:, c].set(1.0) for c in range(k)], axis=0
+    )
+
+
+def _losses(spec, coords, n_tangents):
+    def loss_ref(p):
+        y, dy = mlp_apply_with_tangents(
+            p, coords, _coord_tangents(coords, n_tangents), spec
+        )
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    def loss_fused(p):
+        y, dy = kernels_vjp.fused_apply_with_tangents(
+            p, coords, spec, n_tangents, "f32", True
+        )
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    return loss_ref, loss_fused
+
+
+def _assert_grads_close(g_ref, g_fused, rtol):
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_fused[k])
+        assert a.shape == b.shape, k
+        if a.size == 0:
+            continue
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=rtol, err_msg=k)
+
+
+@pytest.mark.parametrize("width,d_in,d_out,layers,kt", [
+    (20, 2, 3, 5, 2),    # flagship shape
+    (20, 2, 3, 23, 2),   # deep enough for several checkpoint segments
+    (10, 2, 6, 4, 2),    # CMB shape
+    (20, 3, 4, 6, 3),    # navier-stokes: 3 tangents
+    (64, 2, 3, 3, 2),    # g = 2
+])
+def test_fused_vjp_matches_jax_grad(width, d_in, d_out, layers, kt):
+    spec = MLPSpec(sizes=(d_in,) + (width,) * layers + (d_out,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(layers), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(width).uniform(-1, 1, (257, d_in)), jnp.float32
+    )
+    loss_ref, loss_fused = _losses(spec, coords, kt)
+    assert float(loss_fused(params)) == pytest.approx(float(loss_ref(params)), rel=1e-5)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
+def test_fused_vjp_kaiming():
+    spec = MLPSpec(sizes=(2, 16, 16, 16, 3), init_type="kaiming")
+    params = init_mlp_params(jax.random.PRNGKey(7), spec)
+    coords = jnp.asarray(np.random.RandomState(3).uniform(-1, 1, (130, 2)), jnp.float32)
+    loss_ref, loss_fused = _losses(spec, coords, 2)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
+def test_fused_vjp_single_hidden_stack_layer():
+    # n_stack = 0: input layer -> output layer only
+    spec = MLPSpec(sizes=(2, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(8), spec)
+    coords = jnp.asarray(np.random.RandomState(4).uniform(-1, 1, (64, 2)), jnp.float32)
+    loss_ref, loss_fused = _losses(spec, coords, 2)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
+def test_coords_cotangent_is_zero_by_contract():
+    """The VJP deliberately returns zero for coords (documented contract)."""
+    spec = MLPSpec(sizes=(2, 12, 12, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(9), spec)
+    coords = jnp.asarray(np.random.RandomState(5).uniform(-1, 1, (40, 2)), jnp.float32)
+
+    def loss(c):
+        y, dy = kernels_vjp.fused_apply_with_tangents(params, c, spec, 2, "f32", True)
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(coords)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_training_loss_through_physics_bridge():
+    """End-to-end: the fused VJP slot into the continuity training loss."""
+    from pinn_depthestimation_tpu import physics
+
+    spec = MLPSpec(sizes=(2, 20, 20, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(10), spec)
+    coords = jnp.asarray(np.random.RandomState(6).uniform(-1, 1, (96, 2)), jnp.float32)
+
+    def bundle(awt):
+        return physics.model_fields_and_grads(
+            awt, coords, ["x", "y"], ["x", "y"], ["U", "V", "h"]
+        )
+
+    def loss_ref(p):
+        awt = lambda x, t: mlp_apply_with_tangents(p, x, t, spec)  # noqa: E731
+        return physics.continuity_only(*bundle(awt))
+
+    def loss_fused(p):
+        awt = lambda x, t: kernels_vjp.fused_apply_with_tangents(  # noqa: E731
+            p, x, spec, t.shape[0], "f32", True
+        )
+        return physics.continuity_only(*bundle(awt))
+
+    assert float(loss_fused(params)) == pytest.approx(float(loss_ref(params)), rel=1e-5)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
+def test_dropout_rejected():
+    spec = MLPSpec(sizes=(2, 20, 20, 3), init_type="xavier", dropout_rate=0.3)
+    params = init_mlp_params(jax.random.PRNGKey(11), spec)
+    coords = jnp.zeros((8, 2))
+    ybar = jnp.zeros((8, 3))
+    dybar = jnp.zeros((2, 8, 3))
+    with pytest.raises(ValueError, match="dropout"):
+        kernels_vjp.packed_mlp_bwd(params, coords, ybar, dybar, spec, 2, interpret=True)
+
+
+def test_strided_pack_roundtrip():
+    spec = MLPSpec(sizes=(2, 20, 20, 3))
+    s = kernels_vjp.aligned_stride(spec)
+    g = kernels_vjp.packing_factor_aligned(spec)
+    assert (s, g) == (24, 5)
+    vals = jnp.asarray(np.random.RandomState(0).randn(33, 2), jnp.float32)
+    packed, n = kernels_vjp.pack_values_strided(vals, 2, g, s, 8)
+    assert n == 33 and packed.shape[1] == 128
+    # padding rows are zero (critical: they must not pollute grad accumulators)
+    grouped = np.asarray(packed)[:, : g * s].reshape(packed.shape[0], g, s)
+    np.testing.assert_array_equal(grouped[:, :, 2:], 0.0)
+    flat = grouped[:, :, :2].reshape(-1, 2)
+    np.testing.assert_array_equal(flat[:33], np.asarray(vals))
+    np.testing.assert_array_equal(flat[33:], 0.0)
+
+
+def test_loss_builder_fused_matches_xla(tmp_path):
+    """build_loss_fn(fused_kernel=True) == the XLA path, values and grads."""
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import build_loss_fn
+    from pinn_depthestimation_tpu.utils import synthetic
+    from pinn_depthestimation_tpu import data as data_mod
+
+    mat = str(tmp_path / "d.mat")
+    synthetic.make_newmethod_mat(mat, nx=12, ny=10, nan_fraction=0.0, seed=1)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 4, "hidden_width": 20,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    td = data_mod.load_training_data(cfg)
+    batch = {"fidelity_input": jnp.asarray(td.fidelity_input),
+             "fidelity_true": jnp.asarray(td.fidelity_true),
+             "residual_input": jnp.asarray(td.residual_input)}
+
+    loss_xla = build_loss_fn(cfg, spec)
+    loss_fused = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    (t1, _), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params, batch)
+    (t2, _), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
+    assert float(t2) == pytest.approx(float(t1), rel=1e-5)
+    _assert_grads_close(g1, g2, 1e-4)
+
+
+def test_fused_rejects_nonleading_grad_coords(tmp_path):
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import build_loss_fn
+    from scipy.io import savemat
+
+    mat = str(tmp_path / "m.mat")
+    savemat(mat, {"extra": np.zeros((4, 1)), "x": np.zeros((4, 1)),
+                  "y": np.zeros((4, 1)), "U": np.zeros((4, 1)), "V": np.zeros((4, 1))})
+    cfg = parse_config({
+        "layers": {"input_features": 3, "hidden_layers": 2, "hidden_width": 8,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "data": {"file": mat,
+                 "inputs": {"extra": {"requires_grad": ["false"]},
+                            "x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    with pytest.raises(ValueError, match="leading residual inputs"):
+        build_loss_fn(cfg, spec, fused_kernel=True)
