@@ -100,9 +100,21 @@ def cmd_test(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from pinn_depthestimation_tpu.benchmarks import main as bench_main
+    import json
 
-    bench_main()
+    from pinn_depthestimation_tpu.benchmarks import run_residual_bench
+
+    print(json.dumps(run_residual_bench(
+        n_points=args.points, backend=args.backend, precision=args.precision
+    )))
+    return 0
+
+
+def cmd_video(args) -> int:
+    from pinn_depthestimation_tpu.plotting import images_to_video
+
+    out = images_to_video(args.dir, args.out, frame_rate=args.fps)
+    print(f"Video saved to {out}")
     return 0
 
 
@@ -150,7 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
     te.set_defaults(fn=cmd_test)
 
     b = sub.add_parser("bench", help="residual-throughput benchmark")
+    b.add_argument("--points", type=int, default=1 << 22)
+    b.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
+    b.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("video", help="PNG sequence -> AVI (utilities/imgtovid.py)")
+    v.add_argument("--dir", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--fps", type=int, default=5)
+    v.set_defaults(fn=cmd_video)
 
     s = sub.add_parser("synth", help="generate synthetic datasets (reference schema)")
     s.add_argument("--out", required=True)

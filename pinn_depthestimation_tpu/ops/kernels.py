@@ -297,6 +297,8 @@ def packed_mlp_fwd_tangents(
     )
 
     y = unpack_outputs(outs[0], n, g, spec.d_out)
+    if n_tangents == 0:
+        return y, jnp.zeros((0,) + y.shape, y.dtype)
     dy = jnp.stack(
         [unpack_outputs(o, n, g, spec.d_out) for o in outs[1:]], axis=0
     )

@@ -119,6 +119,7 @@ class Trainer:
             residual_chunk_size=config.residual_chunk_size,
             input_min_max=self.data.input_min_max,
             fused_kernel=self.use_fused_kernel,
+            mesh=mesh,
         )
         self.optimizer = make_adam_optimizer(config)
 
@@ -139,23 +140,22 @@ class Trainer:
     def _decide_fused_kernel(self) -> bool:
         """Route the residual stack through the Pallas custom-VJP kernels?
 
-        'on' forces it; 'auto' enables it on TPU for single-device runs with
-        large collocation sets (where the XLA path would need chunking) —
-        pallas_call does not GSPMD-partition, so mesh runs keep the XLA path.
+        'on' forces it; 'auto' enables it on TPU for large collocation sets
+        (where the XLA path would need chunking). Mesh runs wrap the kernel
+        in shard_map with psum'd residual statistics.
         """
         mode = self.config.fused_kernel
         spec = self.spec
         structurally_ok = (
-            self.mesh is None
-            and spec.dropout_rate == 0.0
+            spec.dropout_rate == 0.0
             and spec.n_hidden >= 1
             and max(spec.width, spec.d_in, spec.d_out) <= 128
         )
         if mode == "on":
             if not structurally_ok:
                 raise ValueError(
-                    "fused_kernel='on' requires a single-device run, no dropout, "
-                    ">=1 hidden layer and width <= 128"
+                    "fused_kernel='on' requires no dropout, >=1 hidden layer "
+                    "and width <= 128"
                 )
             return True
         if mode == "off" or not structurally_ok:

@@ -59,6 +59,7 @@ def build_loss_fn(
     input_min_max: dict | None = None,
     fused_kernel: bool = False,
     fused_interpret: bool = False,
+    mesh=None,
 ) -> Callable:
     """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``.
 
@@ -72,8 +73,10 @@ def build_loss_fn(
 
     ``fused_kernel``: route the residual forward+tangent stack through the
     Pallas custom-VJP kernels (``ops.kernels_vjp``) — O(1) activation memory
-    (no chunking needed) and MXU-speed forward AND backward. Single-device
-    only (a pallas_call does not GSPMD-partition); requires dropout = 0.
+    (no chunking needed) and MXU-speed forward AND backward. Requires
+    dropout = 0. With ``mesh``, the kernel runs per-shard under ``shard_map``
+    and the residual is assembled from psum'd sufficient statistics (exact
+    full-batch numerics); without a mesh a plain ``pallas_call`` is used.
     """
     if fused_kernel:
         residual_chunk_size = None  # the fused backward is O(1) in activations
@@ -168,7 +171,45 @@ def build_loss_fn(
         res_input = batch["residual_input"]
         res_mask = batch.get("residual_mask")
 
-        if residual_chunk_size is None or res_input.shape[0] <= residual_chunk_size:
+        if fused_kernel and mesh is not None:
+            # per-shard fused kernel + psum'd sufficient statistics: exact
+            # full-batch residual, data-parallel over ICI
+            from jax.sharding import PartitionSpec as P
+
+            stats_fn = physics.residual_stats(config.physics)
+            combine_fn = physics.residual_from_stats(config.physics)
+            mask_in = (
+                res_mask
+                if res_mask is not None
+                else jnp.ones((res_input.shape[0],), res_input.dtype)
+            )
+
+            def shard_fn(p, pts, m):
+                coords, fields, grads = physics.model_fields_and_grads(
+                    lambda x, t: _fused(p, x, t),
+                    pts, residual_inputs, grad_coords, net_outputs,
+                )
+                stats = stats_fn(
+                    coords, fields, grads, mask=m, parity=parity, **equation_kwargs
+                )
+                return jax.tree.map(lambda s: jax.lax.psum(s, "data"), stats)
+
+            def _fused(p, x, tangents):
+                from pinn_depthestimation_tpu.ops import kernels_vjp
+
+                return kernels_vjp.fused_apply_with_tangents(
+                    p, x, spec, tangents.shape[0], "f32", fused_interpret
+                )
+
+            stats = jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P(),
+                check_vma=False,  # pallas_call carries no vma annotations
+            )(params, res_input, mask_in)
+            residual = combine_fn(stats)
+        elif residual_chunk_size is None or res_input.shape[0] <= residual_chunk_size:
             coords, fields, grads = bundle(res_input)
             residual = equation(
                 coords, fields, grads, mask=res_mask, parity=parity, **equation_kwargs

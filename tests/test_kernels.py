@@ -130,3 +130,18 @@ def test_invalid_precision_rejected():
             params, coords, MLPSpec(sizes=(2, 20, 20, 3)), 2,
             precision="fp8", interpret=True,
         )
+
+
+def test_zero_tangents_forward_only():
+    """n_tangents=0 (the Predictor's fused prediction path)."""
+    spec = MLPSpec(sizes=(2, 20, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(13), spec)
+    coords = jnp.asarray(np.random.RandomState(5).uniform(-1, 1, (70, 2)), jnp.float32)
+    y, dy = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 0, rows_per_tile=8, interpret=True
+    )
+    assert dy.shape == (0, 70, 3)
+    from pinn_depthestimation_tpu.models import mlp_apply
+
+    y_ref = mlp_apply(params, coords, spec)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)

@@ -201,3 +201,55 @@ def test_fused_rejects_nonleading_grad_coords(tmp_path):
     spec = MLPSpec.from_layers(cfg.layers)
     with pytest.raises(ValueError, match="leading residual inputs"):
         build_loss_fn(cfg, spec, fused_kernel=True)
+
+
+def test_fused_shard_map_matches_single_device(tmp_path):
+    """Fused kernel under an 8-device mesh (shard_map + psum'd stats) ==
+    single-device fused loss, values and grads."""
+    from pinn_depthestimation_tpu import data as data_mod, parallel
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import build_loss_fn
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    mat = str(tmp_path / "d.mat")
+    synthetic.make_newmethod_mat(mat, nx=14, ny=13, nan_fraction=0.04, seed=2)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 20,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    td = data_mod.load_training_data(cfg)
+
+    # single-device fused reference
+    batch_plain = {"fidelity_input": jnp.asarray(td.fidelity_input),
+                   "fidelity_true": jnp.asarray(td.fidelity_true),
+                   "residual_input": jnp.asarray(td.residual_input)}
+    loss_single = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    (t1, _), g1 = jax.value_and_grad(loss_single, has_aux=True)(params, batch_plain)
+
+    # sharded fused
+    mesh = parallel.make_mesh(8)
+    batch_sh = parallel.shard_batch(
+        {"fidelity_input": td.fidelity_input,
+         "fidelity_true": td.fidelity_true,
+         "residual_input": td.residual_input}, mesh)
+    params_repl = parallel.replicate(params, mesh)
+    loss_mesh = build_loss_fn(
+        cfg, spec, fused_kernel=True, fused_interpret=True, mesh=mesh
+    )
+    (t2, _), g2 = jax.jit(jax.value_and_grad(loss_mesh, has_aux=True))(
+        params_repl, batch_sh
+    )
+    assert float(t2) == pytest.approx(float(t1), rel=1e-5)
+    _assert_grads_close(g1, g2, 2e-4)
