@@ -210,6 +210,7 @@ class Config:
     dtype: str = "float32"
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
     fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
+    kernel_precision: str = "f32"  # 'f32' (HIGHEST) | 'bf16' (throughput tier)
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``
@@ -462,6 +463,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
             else None
         ),
         fused_kernel=_as_fused(raw.get("fused_kernel", "auto")),
+        kernel_precision=str(raw.get("kernel_precision", "f32")),
     )
 
 

@@ -119,6 +119,7 @@ class Trainer:
             residual_chunk_size=config.residual_chunk_size,
             input_min_max=self.data.input_min_max,
             fused_kernel=self.use_fused_kernel,
+            fused_precision=config.kernel_precision,
             mesh=mesh,
         )
         self.optimizer = make_adam_optimizer(config)
@@ -161,7 +162,14 @@ class Trainer:
         if mode == "off" or not structurally_ok:
             return False
         try:
-            on_tpu = jax.devices()[0].platform == "tpu"
+            # the devices that will actually run the kernel: the mesh's if
+            # present (dry runs build CPU meshes while a TPU is the default
+            # backend), else the default backend's
+            if self.mesh is not None:
+                device = next(iter(self.mesh.devices.flat))
+            else:
+                device = jax.devices()[0]
+            on_tpu = device.platform == "tpu"
         except Exception:
             on_tpu = False
         # leading-coordinate requirement of the fused kernel

@@ -59,6 +59,7 @@ def build_loss_fn(
     input_min_max: dict | None = None,
     fused_kernel: bool = False,
     fused_interpret: bool = False,
+    fused_precision: str = "f32",
     mesh=None,
 ) -> Callable:
     """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``.
@@ -157,7 +158,7 @@ def build_loss_fn(
 
             def apply_with_tangents(x, tangents):
                 return kernels_vjp.fused_apply_with_tangents(
-                    params, x, spec, tangents.shape[0], "f32", fused_interpret
+                    params, x, spec, tangents.shape[0], fused_precision, fused_interpret
                 )
         else:
             def apply_with_tangents(x, tangents):
@@ -198,7 +199,7 @@ def build_loss_fn(
                 from pinn_depthestimation_tpu.ops import kernels_vjp
 
                 return kernels_vjp.fused_apply_with_tangents(
-                    p, x, spec, tangents.shape[0], "f32", fused_interpret
+                    p, x, spec, tangents.shape[0], fused_precision, fused_interpret
                 )
 
             stats = jax.shard_map(
