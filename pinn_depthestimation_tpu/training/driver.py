@@ -308,7 +308,7 @@ class Trainer:
             if self.echo_every and epoch % self.echo_every == 0:
                 LossLog.echo(epoch, fid, res, total)
         it = self.state.iteration
-        if ckpt_mod.checkpoint_due(it, self.config.kind):
+        if ckpt_mod.checkpoint_crossed(start, it, self.config.kind):
             self.save(f"model_{it}")
         snap = self.config.snapshot_iteration
         if snap is not None and start < snap <= it:
