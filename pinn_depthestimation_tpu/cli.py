@@ -162,7 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
     te.set_defaults(fn=cmd_test)
 
     b = sub.add_parser("bench", help="residual-throughput benchmark")
-    b.add_argument("--points", type=int, default=1 << 22)
+    b.add_argument("--points", type=int, default=10_000_000)
     b.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
     b.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     b.set_defaults(fn=cmd_bench)

@@ -82,7 +82,9 @@ class Predictor:
 
         if use_fused_kernel is None:
             use_fused_kernel = (
-                kernels.pallas_supported() and self.spec.n_hidden >= 1
+                kernels.pallas_supported()
+                and self.spec.n_hidden >= 1
+                and max(self.spec.width, self.spec.d_in, self.spec.d_out) <= 128
             )
         if use_fused_kernel:
             def fused(p, x):

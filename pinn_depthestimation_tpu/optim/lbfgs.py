@@ -453,14 +453,13 @@ class LBFGSRunner:
         *,
         mesh=None,
         record_capacity: int = 8192,
-        chunk_iters: int | None = None,
     ):
         self.options = options
         flat0, self._unravel = ravel_pytree(params_template)
         self._n = flat0.shape[0]
+        # chunk boundaries are governed by the record buffer: a chunk ends
+        # when fewer than one worst-case line search (MAX_LS + 2 rows) fits
         self._record_capacity = record_capacity
-        # worst case per outer iteration: max_ls + 1 evaluations
-        self._iters_per_chunk = chunk_iters or max(1, (record_capacity - 2) // (MAX_LS + 1))
         self._loss_fn = loss_fn
         self._mesh = mesh
 

@@ -11,8 +11,12 @@ cadence but checkpoints the full training state as a pytree:
 * optional backend: orbax ``StandardCheckpointer`` for async multi-host runs
   (``backend='orbax'``).
 
-A checkpoint restores bit-identically: params, optimizer state (Adam moments
-or L-BFGS history ring buffer), and the iteration/eval counters.
+A checkpoint restores bit-identically: parameters, Adam optimizer state and
+the iteration/eval counters. Adam-phase resumes continue exactly; a resume
+that lands inside the L-BFGS phase restarts that phase from the checkpointed
+parameters (the curvature history is rebuilt — same warm-restart semantics a
+reference restart would have, since the reference never saved optimizer
+state at all).
 """
 
 from __future__ import annotations

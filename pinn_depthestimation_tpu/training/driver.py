@@ -174,9 +174,8 @@ class Trainer:
             on_tpu = False
         # leading-coordinate requirement of the fused kernel
         from pinn_depthestimation_tpu import physics as _ph
-        from pinn_depthestimation_tpu.training.loss import resolve_names as _rn
 
-        names = _rn(self.config)
+        names = resolve_names(self.config)
         needed = list(_ph.required_grad_coords(self.config.physics))
         leading = [
             names["residual_inputs"].index(c) for c in needed
@@ -254,6 +253,10 @@ class Trainer:
         state = runner.init(self.state.params, self.batch)
         while not runner.finished(state):
             state, records = runner.run_chunk(state, self.batch)
+            # sync the live iterate BEFORE recording: checkpoints and the
+            # 50k-snapshot cut inside this phase must see current weights
+            # (the reference saves the live module, train.py:179)
+            self.state.params = runner.get_params(state)
             self._record(records)
         self.state.params = runner.get_params(state)
 

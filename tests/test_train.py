@@ -202,3 +202,30 @@ def test_dropout_training_runs(newmethod_setup):
     tr.train_adam()
     epochs, *_ , totals = read_log(run_dir)
     assert len(epochs) == 10 and all(np.isfinite(v) for v in totals)
+
+
+def test_lbfgs_phase_checkpoints_use_live_params(newmethod_setup):
+    """Snapshots/checkpoints cut during the L-BFGS phase must reflect the
+    current L-BFGS iterate, not the Adam-final parameters (regression:
+    self.state.params used to be synced only after the whole phase)."""
+    import jax
+    from pinn_depthestimation_tpu.models import init_mlp_params, MLPSpec, mlp_apply
+
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=0, lbfgs_it=25)
+    raw["snapshot_iteration"] = 2  # fires inside the L-BFGS phase
+    cfg = parse_config(raw)
+    run_dir = str(tmp_path / "live"); os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    initial = jax.tree.map(np.asarray, tr.state.params)
+    tr.train()
+
+    from scipy.io import loadmat
+
+    snap = loadmat(os.path.join(run_dir, "data_at2.mat"))
+    spec = MLPSpec.from_layers(cfg.layers)
+    pred_initial = np.asarray(
+        mlp_apply(initial, tr.data.residual_input, spec)
+    )
+    # the snapshot must NOT be the initial/Adam-final prediction
+    assert not np.allclose(snap["pred_U"].ravel(), pred_initial[:, 0], atol=1e-7)
