@@ -229,3 +229,36 @@ def test_dimension_robustness(n):
     fun = lambda x: jnp.sum((x - jnp.asarray(target)) ** 2)  # noqa: E731
     x, info = lbfgs_minimize(fun, jnp.zeros(n), LBFGSOptions(max_iter=50))
     np.testing.assert_allclose(np.asarray(x), target, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_against_torch_on_random_problems(seed):
+    """Randomized convex-ish problems: our optimizer and torch.optim.LBFGS
+    must reach the same optimum with comparable evaluation budgets (exercises
+    rarely-hit line-search branches)."""
+    rs = np.random.RandomState(seed)
+    n = rs.randint(3, 30)
+    A = rs.randn(n, n).astype(np.float32)
+    A = A @ A.T + np.eye(n, dtype=np.float32) * rs.uniform(0.1, 5)
+    b = rs.randn(n).astype(np.float32)
+    c = rs.uniform(0.1, 3.0)
+    x0 = rs.randn(n).astype(np.float32)
+
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    def fun_jnp(x):
+        q = 0.5 * x @ Aj @ x - bj @ x
+        return q + c * jnp.sum(jnp.tanh(x) ** 2)  # mild non-quadratic term
+
+    x_jax, info = lbfgs_minimize(fun_jnp, jnp.asarray(x0), JAX_OPTS)
+
+    At, bt = torch.tensor(A), torch.tensor(b)
+    x_torch, f_torch, evals_torch = _torch_lbfgs(
+        lambda v: 0.5 * v @ At @ v - bt @ v + c * torch.sum(torch.tanh(v) ** 2),
+        x0, **TORCH_OPTS,
+    )
+
+    assert info["fun"] <= f_torch + 1e-3 + abs(f_torch) * 1e-3
+    # same minimizer (strongly convex quadratic dominates)
+    np.testing.assert_allclose(np.asarray(x_jax), x_torch, atol=5e-3)
+    assert info["nfev"] <= max(3 * evals_torch, evals_torch + 30)
