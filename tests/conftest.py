@@ -17,13 +17,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PINN_TPU_TESTS=1 leaves the default (TPU) backend active so the opt-in
+# hardware smoke tests (test_tpu_smoke.py) can exercise compiled kernels.
+_TPU_MODE = os.environ.get("PINN_TPU_TESTS") == "1"
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
 def pytest_sessionstart(session):
+    if _TPU_MODE:
+        return
     devices = jax.devices()
     assert devices[0].platform == "cpu", f"tests must run on CPU, got {devices}"
     assert len(devices) == 8, f"expected 8 fake CPU devices, got {len(devices)}"

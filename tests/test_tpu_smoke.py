@@ -1,0 +1,107 @@
+"""Opt-in hardware smoke tests: compiled Mosaic kernels on a real TPU.
+
+Run with ``PINN_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q``.
+The default suite pins the CPU backend (conftest), so these skip there.
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PINN_TPU_TESTS") != "1", reason="set PINN_TPU_TESTS=1 on a TPU host"
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU backend")
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    return jax.devices()[0]
+
+
+def test_forward_kernel_compiled(tpu):
+    import jax, jax.numpy as jnp, numpy as np  # noqa: E401
+
+    from pinn_depthestimation_tpu.models import (
+        MLPSpec, init_mlp_params, mlp_apply_with_tangents,
+    )
+    from pinn_depthestimation_tpu.ops import kernels
+
+    spec = MLPSpec(sizes=(2,) + (20,) * 10 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    coords = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (4096, 2)), jnp.float32)
+    y, dy = kernels.packed_mlp_fwd_tangents(params, coords, spec, 2)
+    tangents = jnp.stack([jnp.zeros_like(coords).at[:, c].set(1.0) for c in range(2)])
+    y_ref, dy_ref = mlp_apply_with_tangents(params, coords, tangents, spec)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-4, atol=2e-5)
+
+
+def test_vjp_kernel_compiled(tpu):
+    import jax, jax.numpy as jnp, numpy as np  # noqa: E401
+
+    from pinn_depthestimation_tpu.models import (
+        MLPSpec, init_mlp_params, mlp_apply_with_tangents,
+    )
+    from pinn_depthestimation_tpu.ops import kernels_vjp
+
+    spec = MLPSpec(sizes=(2,) + (20,) * 12 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(1), spec)
+    coords = jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (2048, 2)), jnp.float32)
+
+    def loss_fused(p):
+        y, dy = kernels_vjp.fused_apply_with_tangents(p, coords, spec, 2, "f32", False)
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    def loss_ref(p):
+        t = jnp.stack([jnp.zeros_like(coords).at[:, c].set(1.0) for c in range(2)])
+        y, dy = mlp_apply_with_tangents(p, coords, t, spec)
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_ref))(params)
+    g2 = jax.jit(jax.grad(loss_fused))(params)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        if a.size == 0:
+            continue
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-4, err_msg=k)
+
+
+def test_end_to_end_training_on_tpu(tpu, tmp_path):
+    import numpy as np
+
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import Trainer
+    from pinn_depthestimation_tpu.training.logging_utils import read_log
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    mat = str(tmp_path / "d.mat")
+    synthetic.make_newmethod_mat(mat, nx=40, ny=30, nan_fraction=0.02, seed=0)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 5, "hidden_width": 20,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 200, "learning_rate": 1e-3,
+                           "scheduler_step_size": 100, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 20, "learning_rate": 1, "max_evaluation": 40,
+                            "history_size": 10, "tolerance_grad": 1e-8,
+                            "tolerance_change": 1e-11, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "fused_kernel": "on",
+        "data": {"file": mat, "inputs": {"x": {"requires_grad": ["true"]},
+                                         "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    })
+    run_dir = str(tmp_path / "run"); os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    assert tr.use_fused_kernel
+    tr.train()
+    _, _, _, totals = read_log(run_dir)
+    assert totals[-1] < totals[0] * 0.1
+    assert all(np.isfinite(v) for v in totals)

@@ -1,0 +1,213 @@
+"""Full-schedule parity experiment: the actual reference vs this framework.
+
+Runs the reference's own ``train_newmethod.py`` (copied at runtime from the
+read-only mount — never into this repo) for a full Adam schedule on synthetic
+data, then runs this framework with the reference's exact torch-seeded
+initial weights, identical config and data. Reports:
+
+* per-iteration loss agreement across the whole run,
+* final recovered depth-field agreement (the BASELINE.md acceptance
+  criterion: h-fields matching to numerical tolerance / RMSE within 1%).
+
+Usage: python tools/parity_report.py [--iters 50000] [--out PARITY_REPORT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+
+def make_config(mat_path: str, adam_iters: int, lbfgs_iters: int) -> dict:
+    return {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 16,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": adam_iters, "learning_rate": 1e-4,
+                           "scheduler_step_size": 10000, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": lbfgs_iters, "learning_rate": 1,
+                            "max_evaluation": round(lbfgs_iters * 1.25),
+                            "history_size": 100, "tolerance_grad": 1e-5,
+                            "tolerance_change": 1e-7,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat_path,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+        "data_test": {"x_min": 25.0, "x_max": 33.0, "y_min": -13.0, "y_max": 13.0},
+    }
+
+
+def run_reference(workdir: str, mat: str, cfg: dict) -> tuple[list, np.ndarray, float]:
+    """Execute the genuine reference script; return (totals, h_field, wall)."""
+    for name in ("train_newmethod.py", "dnn.py", "physics.py", "operations.py"):
+        shutil.copy(os.path.join(REFERENCE, name), os.path.join(workdir, name))
+    with open(os.path.join(workdir, "config_CMB_h.json"), "w") as f:
+        json.dump(cfg, f)
+
+    env = dict(os.environ, CUDA_VISIBLE_DEVICES="")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "train_newmethod.py"], cwd=workdir, env=env,
+        capture_output=True, text=True, timeout=24 * 3600,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference failed:\n{proc.stdout}\n{proc.stderr}")
+
+    log_root = os.path.join(os.path.dirname(workdir), "log")
+    run_name = sorted(os.listdir(log_root))[-1]
+    totals = []
+    with open(os.path.join(log_root, run_name, "log.txt")) as f:
+        next(f)
+        for line in f:
+            totals.append(float(line.split(", ")[3]))
+
+    # final depth field via the reference's own pickled module
+    import torch
+
+    sys.path.insert(0, workdir)
+    try:
+        model = torch.load(
+            os.path.join(log_root, run_name, "model.pth"), weights_only=False
+        )
+        model.eval()
+        from scipy.io import loadmat
+
+        d = loadmat(mat)
+        x, y, u = d["x"], d["y"], d["U"]
+        mask = np.isfinite(u).ravel()
+        xn = 2 * (x - 25.0) / 8.0 - 1
+        yn = 2 * (y + 13.0) / 26.0 - 1
+        inp = torch.tensor(
+            np.hstack([xn, yn])[mask], dtype=torch.float32
+        )
+        with torch.no_grad():
+            pred = model(inp).numpy()
+        h_field = pred[:, 2]
+    finally:
+        sys.path.pop(0)
+    return totals, h_field, wall
+
+
+def reference_initial_params(workdir: str):
+    import torch
+
+    sys.path.insert(0, workdir)
+    try:
+        import importlib
+
+        dnn_mod = importlib.import_module("dnn")
+        importlib.reload(dnn_mod)
+        torch.manual_seed(1234)
+        model = dnn_mod.DNN([2] + [16] * 3 + [3], 0.0, "xavier")
+    finally:
+        sys.path.pop(0)
+    import jax.numpy as jnp
+    import torch as _t
+
+    linears = [m for m in model.layers if isinstance(m, _t.nn.Linear)]
+    return {
+        "w_in": jnp.asarray(linears[0].weight.detach().numpy().T),
+        "b_in": jnp.asarray(linears[0].bias.detach().numpy()),
+        "w_hidden": jnp.stack([jnp.asarray(l.weight.detach().numpy().T) for l in linears[1:-1]]),
+        "b_hidden": jnp.stack([jnp.asarray(l.bias.detach().numpy()) for l in linears[1:-1]]),
+        "w_out": jnp.asarray(linears[-1].weight.detach().numpy().T),
+        "b_out": jnp.asarray(linears[-1].bias.detach().numpy()),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50_000)
+    ap.add_argument("--lbfgs", type=int, default=500)
+    ap.add_argument("--out", default="PARITY_REPORT.md")
+    args = ap.parse_args()
+
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import Trainer
+    from pinn_depthestimation_tpu.training.logging_utils import read_log
+    from pinn_depthestimation_tpu.utils import synthetic
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    tmp = tempfile.mkdtemp()
+    workdir = os.path.join(tmp, "ref")
+    os.makedirs(workdir)
+    mat = os.path.join(tmp, "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=16, ny=14, nan_fraction=0.05, seed=21)
+    cfg_raw = make_config(mat, args.iters, args.lbfgs)
+
+    print(f"[1/3] reference run ({args.iters} Adam + {args.lbfgs} L-BFGS)...", flush=True)
+    ref_totals, ref_h, ref_wall = run_reference(workdir, mat, cfg_raw)
+    print(f"      reference: {len(ref_totals)} evals in {ref_wall:.0f}s", flush=True)
+
+    print("[2/3] framework run with identical initial weights...", flush=True)
+    params = reference_initial_params(workdir)
+    cfg = parse_config(cfg_raw)
+    run_dir = os.path.join(tmp, "ours")
+    os.makedirs(run_dir)
+    t0 = time.time()
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+    tr.train()
+    our_wall = time.time() - t0
+    _, _, _, our_totals = read_log(run_dir)
+    our_h = tr.predict(tr.data.residual_input)[:, 2]
+    print(f"      framework: {len(our_totals)} evals in {our_wall:.0f}s", flush=True)
+
+    print("[3/3] comparing...", flush=True)
+    n = min(len(ref_totals), len(our_totals), args.iters)
+    rt, ot = np.asarray(ref_totals[:n]), np.asarray(our_totals[:n])
+    rel = np.abs(ot - rt) / np.maximum(np.abs(rt), 1e-12)
+    h_rmse = float(np.sqrt(np.mean((our_h - ref_h) ** 2)))
+    h_scale = float(np.max(ref_h) - np.min(ref_h) + 1e-12)
+    checkpoints = [0, 9, 99, 999, min(n, 10_000) - 1, n - 1]
+    rows = "\n".join(
+        f"| {i + 1} | {rt[i]:.6e} | {ot[i]:.6e} | {rel[i]:.2e} |"
+        for i in sorted(set(checkpoints))
+    )
+    report = f"""# PARITY REPORT — actual reference vs pinn_depthestimation_tpu
+
+Full-schedule run on identical synthetic data with the reference's exact
+torch-seeded initial weights. Reference executed from its own sources
+(sandbox copy of /root/reference); framework = `Trainer` as shipped.
+
+* schedule: {args.iters} Adam + up to {args.lbfgs} L-BFGS evaluations
+* reference wall-clock (torch CPU): {ref_wall:.0f} s
+* framework wall-clock: {our_wall:.0f} s ({ref_wall / max(our_wall, 1e-9):.1f}x)
+
+## Per-iteration total loss
+
+| iteration | reference | framework | rel. diff |
+|---|---|---|---|
+{rows}
+
+* median relative loss difference over {n} iterations: {np.median(rel):.2e}
+* max relative loss difference: {np.max(rel):.2e}
+
+## Recovered depth field (h) at end of training
+
+* RMSE(framework, reference): {h_rmse:.3e} m
+* reference h-field range: {h_scale:.3e} m
+* relative field RMSE: {h_rmse / h_scale:.2%}  (BASELINE criterion: within 1%)
+"""
+    with open(args.out, "w") as f:
+        f.write(report)
+    print(report)
+    ok = h_rmse / h_scale <= 0.01
+    print("PARITY:", "PASS" if ok else "CHECK", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
