@@ -271,7 +271,8 @@ def _parse_lbfgs(d: Mapping[str, Any]) -> LBFGSConfig:
         max_it=_as_int(d.get("max_it", 0), "lbfgs_optimizer.max_it"),
         learning_rate=_as_float(d.get("learning_rate", 1.0), "lbfgs_optimizer.learning_rate"),
         max_evaluation=_as_int(
-            d.get("max_evaluation", round(1.25 * float(d.get("max_it", 0)))),
+            # torch's default: max_iter * 5 // 4 (floor, not banker's round)
+            d.get("max_evaluation", _as_int(d.get("max_it", 0), "lbfgs_optimizer.max_it") * 5 // 4),
             "lbfgs_optimizer.max_evaluation",
         ),
         history_size=_as_int(d.get("history_size", 100), "lbfgs_optimizer.history_size"),
@@ -316,6 +317,13 @@ def _output_names(d: Any) -> tuple[str, ...]:
     if isinstance(d, Mapping):
         return tuple(d.keys())
     return tuple(str(x) for x in d)
+
+
+def _as_kernel_precision(value: Any) -> str:
+    v = str(value).lower()
+    if v not in ("f32", "bf16"):
+        raise ConfigError(f"kernel_precision must be 'f32' or 'bf16', got {value!r}")
+    return v
 
 
 def _as_fused(value: Any) -> str:
@@ -463,7 +471,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
             else None
         ),
         fused_kernel=_as_fused(raw.get("fused_kernel", "auto")),
-        kernel_precision=str(raw.get("kernel_precision", "f32")),
+        kernel_precision=_as_kernel_precision(raw.get("kernel_precision", "f32")),
     )
 
 

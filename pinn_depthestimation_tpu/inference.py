@@ -148,11 +148,14 @@ class Predictor:
         """
         eq_name = equation or self.config.physics
         equation_fn = physics.residual_loss(eq_name)
-        grad_coords = [
-            c
-            for c in physics.required_grad_coords(eq_name)
-            if c in self.test_cfg.inputs
-        ]
+        grad_coords = list(physics.required_grad_coords(eq_name))
+        missing = [c for c in grad_coords if c not in self.test_cfg.inputs]
+        if missing:
+            raise ValueError(
+                f"physics equation {eq_name!r} needs input coordinates "
+                f"{grad_coords}, but data_test.inputs are "
+                f"{list(self.test_cfg.inputs)} (missing {missing})"
+            )
         input_names = list(self.test_cfg.inputs)
         output_names = list(self.test_cfg.outputs)
         coords = jnp.asarray(inputs, jnp.float32)

@@ -380,8 +380,15 @@ def make_lbfgs_step(evaluate: Callable, options: LBFGSOptions):
                     evaluate, state.x, t0, d, state.f, state.g, gtd, d_norm, LS_TOLERANCE, ctx
                 )
                 return f_new, g_new, t_new, ctx
-            # no line search: fixed step then re-evaluate (torch else-branch)
-            f_new, g_new, ctx = evaluate(state.x + t0 * d, ctx)
+            # no line search: fixed step, then re-evaluate — except on the
+            # final iteration, where torch skips the evaluation and reports
+            # the stale pre-step loss (lbfgs.py 'if n_iter != max_iter')
+            f_new, g_new, ctx = lax.cond(
+                state.n_iter + 1 < options.max_iter,
+                lambda c: evaluate(state.x + t0 * d, c),
+                lambda c: (state.f, state.g, c),
+                ctx,
+            )
             return f_new, g_new, t0, ctx
 
         ctx = (state.records, state.rec_count, state.func_evals)
@@ -500,6 +507,8 @@ class LBFGSRunner:
                 CONVERGED_GRAD,
                 RUNNING,
             ).astype(jnp.int32)
+            if options.max_iter <= 0:  # torch's 'while n_iter < max_iter'
+                reason = jnp.full_like(reason, MAX_ITER)
             return LBFGSState(
                 x=x, f=f, g=g,
                 d=-g, t=jnp.ones((), x.dtype),
@@ -529,6 +538,13 @@ class LBFGSRunner:
         records = np.asarray(state.records[:count])
         state = state._replace(rec_count=jnp.int32(0))
         return state, records
+
+    def drain_records(self, state: LBFGSState) -> tuple[LBFGSState, np.ndarray]:
+        """Flush any recorded-but-unflushed rows (e.g. the init evaluation
+        when the optimizer converges immediately) without running a chunk."""
+        count = int(state.rec_count)
+        records = np.asarray(state.records[:count])
+        return state._replace(rec_count=jnp.int32(0)), records
 
     def finished(self, state: LBFGSState) -> bool:
         return int(state.reason) != RUNNING

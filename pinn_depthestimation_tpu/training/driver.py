@@ -248,6 +248,10 @@ class Trainer:
                     line_search=cfg.line_search_fn,
                 ),
                 mesh=self.mesh,
+                # ~1000-evaluation chunks: snapshot/checkpoint cadence inside
+                # the phase then quantizes like the Adam phase does, instead
+                # of at the default 8k-row buffer granularity
+                record_capacity=1000 + 2 * (lbfgs_mod.MAX_LS + 2),
             )
         runner = self._lbfgs_runner
         state = runner.init(self.state.params, self.batch)
@@ -258,6 +262,12 @@ class Trainer:
             # (the reference saves the live module, train.py:179)
             self.state.params = runner.get_params(state)
             self._record(records)
+        # the init evaluation's record may still be unflushed (immediate
+        # convergence): the reference logs every closure call (train.py:162)
+        state, leftover = runner.drain_records(state)
+        if leftover.size:
+            self.state.params = runner.get_params(state)
+            self._record(leftover)
         self.state.params = runner.get_params(state)
 
     # ------------------------------------------------------------- lifecycle

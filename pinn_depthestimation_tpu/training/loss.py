@@ -140,37 +140,52 @@ def build_loss_fn(
             if "depth" in anchor_raw:
                 equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
 
-    def loss_fn(params, batch, dropout_rng=None):
-        # --- fidelity term (reference train.py:131-141)
-        pred = mlp_apply(params, batch["fidelity_input"], spec, dropout_rng=dropout_rng)
-        err2 = (batch["fidelity_true"] - pred[..., : len(fid_outputs)]) ** 2
-        fid_mask = batch.get("fidelity_mask")
-        per_output = (
-            jnp.mean(err2, axis=0)
-            if fid_mask is None
-            else jnp.sum(err2 * fid_mask[:, None], axis=0) / jnp.sum(fid_mask)
-        )
-        fidelity = jnp.sum(fid_weights * per_output)
+    # The newmethod pipeline evaluates fidelity and residual on the SAME
+    # point set (reference train_newmethod.py:126-156 does one forward and
+    # slices it). When the plain (unchunked, unsharded-stats) residual path
+    # runs, reuse its primal output for the fidelity term instead of a second
+    # full forward. Requires deterministic forward (dropout off).
+    share_forward = config.kind == "newmethod" and spec.dropout_rate == 0.0
 
-        # --- residual term (reference train.py:144-154)
+    def make_awt(p):
+        """Per-params apply-with-tangents, fused or XLA."""
         if fused_kernel:
             from pinn_depthestimation_tpu.ops import kernels_vjp
 
-            def apply_with_tangents(x, tangents):
-                return kernels_vjp.fused_apply_with_tangents(
-                    params, x, spec, tangents.shape[0], fused_precision, fused_interpret
-                )
-        else:
-            def apply_with_tangents(x, tangents):
-                return mlp_apply_with_tangents(params, x, tangents, spec)
+            return lambda x, t: kernels_vjp.fused_apply_with_tangents(
+                p, x, spec, t.shape[0], fused_precision, fused_interpret
+            )
+        return lambda x, t: mlp_apply_with_tangents(p, x, t, spec)
+
+    def loss_fn(params, batch, dropout_rng=None):
+        apply_with_tangents = make_awt(params)
 
         def bundle(points):
             return physics.model_fields_and_grads(
                 apply_with_tangents, points, residual_inputs, grad_coords, net_outputs
             )
 
+        def fidelity_from(pred):
+            err2 = (batch["fidelity_true"] - pred[..., : len(fid_outputs)]) ** 2
+            fid_mask = batch.get("fidelity_mask")
+            per_output = (
+                jnp.mean(err2, axis=0)
+                if fid_mask is None
+                else jnp.sum(err2 * fid_mask[:, None], axis=0) / jnp.sum(fid_mask)
+            )
+            return jnp.sum(fid_weights * per_output)
+
         res_input = batch["residual_input"]
         res_mask = batch.get("residual_mask")
+
+        fidelity = None
+        plain_path = (
+            not (fused_kernel and mesh is not None)
+            and (
+                residual_chunk_size is None
+                or res_input.shape[0] <= residual_chunk_size
+            )
+        )
 
         if fused_kernel and mesh is not None:
             # per-shard fused kernel + psum'd sufficient statistics: exact
@@ -187,20 +202,12 @@ def build_loss_fn(
 
             def shard_fn(p, pts, m):
                 coords, fields, grads = physics.model_fields_and_grads(
-                    lambda x, t: _fused(p, x, t),
-                    pts, residual_inputs, grad_coords, net_outputs,
+                    make_awt(p), pts, residual_inputs, grad_coords, net_outputs
                 )
                 stats = stats_fn(
                     coords, fields, grads, mask=m, parity=parity, **equation_kwargs
                 )
                 return jax.tree.map(lambda s: jax.lax.psum(s, "data"), stats)
-
-            def _fused(p, x, tangents):
-                from pinn_depthestimation_tpu.ops import kernels_vjp
-
-                return kernels_vjp.fused_apply_with_tangents(
-                    p, x, spec, tangents.shape[0], fused_precision, fused_interpret
-                )
 
             stats = jax.shard_map(
                 shard_fn,
@@ -210,11 +217,19 @@ def build_loss_fn(
                 check_vma=False,  # pallas_call carries no vma annotations
             )(params, res_input, mask_in)
             residual = combine_fn(stats)
-        elif residual_chunk_size is None or res_input.shape[0] <= residual_chunk_size:
+        elif plain_path:
             coords, fields, grads = bundle(res_input)
             residual = equation(
                 coords, fields, grads, mask=res_mask, parity=parity, **equation_kwargs
             )
+            if share_forward and batch["fidelity_input"].shape == res_input.shape:
+                # fidelity output i == network output i for the true heads
+                # (loader contract: newmethod fidelity/residual points are the
+                # same array, data.py::load_newmethod_training_data)
+                pred_shared = jnp.stack(
+                    [fields[name] for name in net_outputs], axis=-1
+                )
+                fidelity = fidelity_from(pred_shared)
         else:
             stats_fn = physics.residual_stats(config.physics)
             combine_fn = physics.residual_from_stats(config.physics)
@@ -243,6 +258,13 @@ def build_loss_fn(
 
             stats = jax.lax.map(chunk_stats, (chunks, masks))
             residual = combine_fn(jax.tree.map(lambda a: jnp.sum(a, axis=0), stats))
+
+        if fidelity is None:
+            # separate fidelity forward (reference train.py:131-141)
+            pred = mlp_apply(
+                params, batch["fidelity_input"], spec, dropout_rng=dropout_rng
+            )
+            fidelity = fidelity_from(pred)
 
         total = config.weight_fidelity * fidelity + config.weight_residual * residual
         return total, (fidelity, residual)
