@@ -118,6 +118,13 @@ def cmd_video(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    from pinn_depthestimation_tpu.parity import main as parity_main
+
+    argv = ["--iters", str(args.iters), "--lbfgs", str(args.lbfgs), "--out", args.out]
+    return parity_main(argv)
+
+
 def cmd_synth(args) -> int:
     import os
 
@@ -172,6 +179,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--out", required=True)
     v.add_argument("--fps", type=int, default=5)
     v.set_defaults(fn=cmd_video)
+
+    pa = sub.add_parser(
+        "parity", help="full-schedule parity experiment vs the actual reference"
+    )
+    pa.add_argument("--iters", type=int, default=50_000)
+    pa.add_argument("--lbfgs", type=int, default=500)
+    pa.add_argument("--out", default="PARITY_REPORT.md")
+    pa.set_defaults(fn=cmd_parity)
 
     s = sub.add_parser("synth", help="generate synthetic datasets (reference schema)")
     s.add_argument("--out", required=True)

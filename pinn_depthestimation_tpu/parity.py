@@ -9,7 +9,9 @@ initial weights, identical config and data. Reports:
 * final recovered depth-field agreement (the BASELINE.md acceptance
   criterion: h-fields matching to numerical tolerance / RMSE within 1%).
 
-Usage: python tools/parity_report.py [--iters 50000] [--out PARITY_REPORT.md]
+Usage: ``pinn-tpu parity [--iters 50000] [--out PARITY_REPORT.md]``
+(or ``python -m pinn_depthestimation_tpu.parity``). Requires the reference
+mount at /root/reference.
 """
 
 from __future__ import annotations
@@ -127,12 +129,16 @@ def reference_initial_params(workdir: str):
     }
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50_000)
     ap.add_argument("--lbfgs", type=int, default=500)
     ap.add_argument("--out", default="PARITY_REPORT.md")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(REFERENCE):
+        print(f"reference mount {REFERENCE} not available")
+        return 2
 
     from pinn_depthestimation_tpu.config import parse_config
     from pinn_depthestimation_tpu.training import Trainer
@@ -171,7 +177,7 @@ def main() -> int:
     rel = np.abs(ot - rt) / np.maximum(np.abs(rt), 1e-12)
     h_rmse = float(np.sqrt(np.mean((our_h - ref_h) ** 2)))
     h_scale = float(np.max(ref_h) - np.min(ref_h) + 1e-12)
-    checkpoints = [0, 9, 99, 999, min(n, 10_000) - 1, n - 1]
+    checkpoints = [i for i in (0, 9, 99, 999, 9_999, n - 1) if 0 <= i < n]
     rows = "\n".join(
         f"| {i + 1} | {rt[i]:.6e} | {ot[i]:.6e} | {rel[i]:.2e} |"
         for i in sorted(set(checkpoints))
