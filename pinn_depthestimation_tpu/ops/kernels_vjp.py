@@ -58,8 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 from pinn_depthestimation_tpu.models.mlp import MLPSpec
 from pinn_depthestimation_tpu.ops.kernels import _DOT_PRECISION, LANES, packed_mlp_fwd_tangents
 
-BWD_ROWS = 128        # points-rows per tile in the backward kernel
-CKPT_EVERY = 10       # checkpoint cadence over the hidden stack
+BWD_ROWS = 256        # points-rows per tile (tuned: +10% over 128 on v5e)
+CKPT_EVERY = 14       # checkpoint cadence over the hidden stack (tuned)
 
 
 def aligned_stride(spec: MLPSpec) -> int:
