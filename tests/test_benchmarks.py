@@ -1,0 +1,39 @@
+"""The driver-facing benchmark contract: one parseable JSON record."""
+
+import json
+
+from pinn_depthestimation_tpu import benchmarks
+
+
+def test_run_residual_bench_contract():
+    result = benchmarks.run_residual_bench(
+        n_points=4096, backend="xla", reps=1
+    )
+    # exact keys the driver records into BENCH_r{N}.json
+    assert set(result) == {"metric", "value", "unit", "vs_baseline"}
+    assert result["value"] > 0
+    assert result["vs_baseline"] > 0
+    assert "residual_evals_per_sec_per_chip" in result["metric"]
+    json.dumps(result)  # serializable
+
+
+def test_bench_main_prints_single_json_line(capsys, monkeypatch):
+    monkeypatch.setattr(
+        benchmarks, "run_residual_bench", lambda **kw: {"metric": "m", "value": 1.0,
+                                                        "unit": "u", "vs_baseline": 2.0}
+    )
+    benchmarks.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    parsed = json.loads(out[0])
+    assert parsed["vs_baseline"] == 2.0
+
+
+def test_backend_selection():
+    from pinn_depthestimation_tpu.models import MLPSpec
+
+    spec = MLPSpec(sizes=(2, 20, 20, 3))
+    _, name = benchmarks.residual_eval_fn(spec, "xla")
+    assert name == "xla"
+    _, name = benchmarks.residual_eval_fn(spec, "pallas", precision="bf16")
+    assert name == "pallas-bf16"
