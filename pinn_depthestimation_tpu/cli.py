@@ -40,10 +40,14 @@ def cmd_train(args) -> int:
         print(f"Error reading config file: {e}")
         return 1
     mesh = None
-    if args.mesh:
-        mesh = parallel.make_mesh(args.mesh)
-    elif config.parallel.data:
-        mesh = parallel.make_mesh(config.parallel.data, config.parallel.model)
+    try:
+        if args.mesh:
+            mesh = parallel.make_mesh(args.mesh)
+        elif config.parallel.data:
+            mesh = parallel.make_mesh(config.parallel.data, config.parallel.model)
+    except ValueError as e:
+        print(f"Error building device mesh: {e}")
+        return 1
 
     run_dir = make_run_dir(args.log_root, args.run_name)
     print(f"Run directory: {run_dir}")
