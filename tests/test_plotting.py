@@ -73,3 +73,15 @@ def test_plot_log(tmp_path, config):
 def test_images_to_video_requires_images(tmp_path):
     with pytest.raises(ValueError, match="no .png"):
         plotting.images_to_video(str(tmp_path), str(tmp_path / "o.avi"))
+
+
+def test_images_to_video(tmp_path, grids, config):
+    pytest.importorskip("cv2")
+    x, y, u, _ = grids
+    # two frames
+    for t in (0.0, 1.0):
+        plotting.plot_cmap(np.array([[t]]), x, y, u * (1 + t), config, "h", -1, 1)
+    out = str(tmp_path / "out.avi")
+    path = plotting.images_to_video(config["plot"]["dir"], out, frame_rate=2)
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 1000
