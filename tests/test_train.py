@@ -229,3 +229,42 @@ def test_lbfgs_phase_checkpoints_use_live_params(newmethod_setup):
     )
     # the snapshot must NOT be the initial/Adam-final prediction
     assert not np.allclose(snap["pred_U"].ravel(), pred_initial[:, 0], atol=1e-7)
+
+
+def test_resume_past_adam_restarts_lbfgs_from_checkpoint(newmethod_setup):
+    """A resume whose counter exceeds adam.max_it skips Adam and warm-restarts
+    the L-BFGS phase from the checkpointed parameters (documented semantics)."""
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=10, lbfgs_it=15))
+    run_a = str(tmp_path / "ra"); os.makedirs(run_a)
+    tr = Trainer(cfg, run_dir=run_a, echo_every=0)
+    tr.train()
+    assert tr.state.iteration > 10  # entered the L-BFGS phase
+    path = tr.save("model_mid")
+
+    run_b = str(tmp_path / "rb"); os.makedirs(run_b)
+    tr2 = Trainer(cfg, run_dir=run_b, echo_every=0)
+    tr2.restore(path)
+    start_it = tr2.state.iteration
+    assert start_it > 10
+    tr2.train()  # adam phase is a no-op; lbfgs restarts from restored params
+    epochs, *_, totals = read_log(run_b)
+    assert epochs[0] == start_it + 1  # counting continues, no reset
+    assert all(np.isfinite(v) for v in totals)
+
+
+def test_training_is_deterministic(newmethod_setup):
+    """Same config + data + seed -> bit-identical loss logs and parameters."""
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=30, lbfgs_it=5))
+    results = []
+    for name in ("d1", "d2"):
+        run_dir = str(tmp_path / name); os.makedirs(run_dir)
+        tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+        tr.train()
+        _, _, _, totals = read_log(run_dir)
+        results.append((totals, {k: np.asarray(v) for k, v in tr.state.params.items()}))
+    (t1, p1), (t2, p2) = results
+    assert t1 == t2
+    for k in p1:
+        np.testing.assert_array_equal(p1[k], p2[k])
