@@ -42,6 +42,12 @@ class TrainingData:
     fidelity_true: np.ndarray           # (Nf, n_true_outputs)
     residual_input: np.ndarray          # (Nr, d_in) normalized
     input_min_max: dict[str, tuple[float, float]] = field(default_factory=dict)
+    # Loader-asserted contract: the fidelity rows ARE the residual rows (the
+    # newmethod pipeline slices one forward for both, reference
+    # train_newmethod.py:126-156). Only when this flag is True may the loss
+    # reuse the residual forward for the fidelity term — never inferred from
+    # shape equality, which a custom TrainingData could satisfy by accident.
+    fidelity_is_residual: bool = False
 
 
 def _fortran_column(arr: np.ndarray) -> np.ndarray:
@@ -140,6 +146,7 @@ def load_newmethod_training_data(config: Config) -> TrainingData:
         fidelity_true=np.asarray(data_true, dtype=np.float32),
         residual_input=np.asarray(data_input, dtype=np.float32),
         input_min_max=input_min_max,
+        fidelity_is_residual=True,
     )
 
 

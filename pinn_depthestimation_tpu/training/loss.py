@@ -61,6 +61,7 @@ def build_loss_fn(
     fused_interpret: bool = False,
     fused_precision: str = "f32",
     mesh=None,
+    fidelity_is_residual: bool = False,
 ) -> Callable:
     """Returns ``loss_fn(params, batch, dropout_rng=None) -> (total, (fid, res))``.
 
@@ -142,10 +143,12 @@ def build_loss_fn(
 
     # The newmethod pipeline evaluates fidelity and residual on the SAME
     # point set (reference train_newmethod.py:126-156 does one forward and
-    # slices it). When the plain (unchunked, unsharded-stats) residual path
-    # runs, reuse its primal output for the fidelity term instead of a second
-    # full forward. Requires deterministic forward (dropout off).
-    share_forward = config.kind == "newmethod" and spec.dropout_rate == 0.0
+    # slices it). When the loader certifies that contract
+    # (``fidelity_is_residual``, set by load_newmethod_training_data — never
+    # inferred from shapes), reuse the residual forward's primal output for
+    # the fidelity term instead of a second full forward. Requires a
+    # deterministic forward (dropout off).
+    share_forward = fidelity_is_residual and spec.dropout_rate == 0.0
 
     def make_awt(p):
         """Per-params apply-with-tangents, fused or XLA."""
@@ -188,8 +191,13 @@ def build_loss_fn(
         )
 
         if fused_kernel and mesh is not None:
-            # per-shard fused kernel + psum'd sufficient statistics: exact
-            # full-batch residual, data-parallel over ICI
+            # ONE shard_map per loss evaluation: per-shard fused kernel +
+            # psum'd sufficient statistics for the residual AND the fidelity
+            # term — exact full-batch numerics, data-parallel over ICI.
+            # (Round 1 ran a second, unfused XLA forward for fidelity outside
+            # the shard_map; folding it in shares the fused forward when the
+            # loader certifies fidelity==residual points, and removes a
+            # dispatch + a GSPMD-sharded 101-layer forward otherwise.)
             from jax.sharding import PartitionSpec as P
 
             stats_fn = physics.residual_stats(config.physics)
@@ -199,30 +207,54 @@ def build_loss_fn(
                 if res_mask is not None
                 else jnp.ones((res_input.shape[0],), res_input.dtype)
             )
+            fid_in = batch["fidelity_input"]
+            fid_true = batch["fidelity_true"]
+            fid_mask = batch.get("fidelity_mask")
+            fmask_in = (
+                fid_mask
+                if fid_mask is not None
+                else jnp.ones((fid_in.shape[0],), fid_in.dtype)
+            )
 
-            def shard_fn(p, pts, m):
+            def shard_fn(p, pts, m, f_in, f_true, f_m):
                 coords, fields, grads = physics.model_fields_and_grads(
                     make_awt(p), pts, residual_inputs, grad_coords, net_outputs
                 )
-                stats = stats_fn(
-                    coords, fields, grads, mask=m, parity=parity, **equation_kwargs
+                stats = dict(
+                    stats_fn(
+                        coords, fields, grads, mask=m, parity=parity,
+                        **equation_kwargs,
+                    )
                 )
+                if share_forward:
+                    # loader contract: per-shard fidelity rows == residual
+                    # rows (same array, same sharding/padding)
+                    pred = jnp.stack(
+                        [fields[name] for name in net_outputs], axis=-1
+                    )[..., : len(fid_outputs)]
+                else:
+                    pred = mlp_apply(p, f_in, spec)[..., : len(fid_outputs)]
+                err2 = (f_true - pred) ** 2
+                stats["_fid_sum_err2"] = jnp.sum(err2 * f_m[:, None], axis=0)
+                stats["_fid_n"] = jnp.sum(f_m)
                 return jax.tree.map(lambda s: jax.lax.psum(s, "data"), stats)
 
             stats = jax.shard_map(
                 shard_fn,
                 mesh=mesh,
-                in_specs=(P(), P("data"), P("data")),
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P("data")),
                 out_specs=P(),
                 check_vma=False,  # pallas_call carries no vma annotations
-            )(params, res_input, mask_in)
+            )(params, res_input, mask_in, fid_in, fid_true, fmask_in)
+            per_output = stats.pop("_fid_sum_err2") / stats.pop("_fid_n")
+            fidelity = jnp.sum(fid_weights * per_output)
             residual = combine_fn(stats)
         elif plain_path:
             coords, fields, grads = bundle(res_input)
             residual = equation(
                 coords, fields, grads, mask=res_mask, parity=parity, **equation_kwargs
             )
-            if share_forward and batch["fidelity_input"].shape == res_input.shape:
+            if share_forward:
                 # fidelity output i == network output i for the true heads
                 # (loader contract: newmethod fidelity/residual points are the
                 # same array, data.py::load_newmethod_training_data)
