@@ -549,6 +549,56 @@ class LBFGSRunner:
     def finished(self, state: LBFGSState) -> bool:
         return int(state.reason) != RUNNING
 
+    # -------------------------------------------------------- serialization
+
+    # transient fields excluded from checkpoints (rebuilt empty on restore)
+    _TRANSIENT_FIELDS = ("records", "rec_count")
+
+    def export_state(self, state: LBFGSState) -> dict:
+        """Checkpointable dict of the optimizer state: iterate, gradient,
+        direction, step, s/y ring buffers + rho/head/num, and all counters.
+        The record buffer is transient (flushed at chunk boundaries) and is
+        not serialized."""
+        return {
+            k: np.asarray(v)
+            for k, v in state._asdict().items()
+            if k not in self._TRANSIENT_FIELDS
+        }
+
+    def restore_state(self, raw: dict) -> LBFGSState:
+        """Rebuild an exact-trajectory ``LBFGSState`` from
+        :meth:`export_state` output (a fresh, empty record buffer is
+        attached). Validates the flat-parameter and history shapes against
+        this runner's template/options."""
+        missing = [
+            k for k in LBFGSState._fields
+            if k not in raw and k not in self._TRANSIENT_FIELDS
+        ]
+        if missing:
+            raise ValueError(f"L-BFGS checkpoint is missing fields {missing}")
+        x = jnp.asarray(raw["x"])
+        if x.shape != (self._n,):
+            raise ValueError(
+                f"L-BFGS checkpoint has {x.shape[0]} flat parameters, "
+                f"model has {self._n}"
+            )
+        m = self.options.history_size
+        if np.shape(raw["rho"]) != (m,):
+            raise ValueError(
+                f"L-BFGS checkpoint history_size {np.shape(raw['rho'])[0]} "
+                f"!= configured {m}"
+            )
+        fields = {
+            k: jnp.asarray(v)
+            for k, v in raw.items()
+            if k in LBFGSState._fields and k not in self._TRANSIENT_FIELDS
+        }
+        return LBFGSState(
+            records=jnp.zeros((self._record_capacity, 3), jnp.float32),
+            rec_count=jnp.int32(0),
+            **fields,
+        )
+
     def get_params(self, state: LBFGSState) -> Any:
         return self._unravel(state.x)
 

@@ -12,11 +12,11 @@ cadence but checkpoints the full training state as a pytree:
   (``backend='orbax'``).
 
 A checkpoint restores bit-identically: parameters, Adam optimizer state and
-the iteration/eval counters. Adam-phase resumes continue exactly; a resume
-that lands inside the L-BFGS phase restarts that phase from the checkpointed
-parameters (the curvature history is rebuilt — same warm-restart semantics a
-reference restart would have, since the reference never saved optimizer
-state at all).
+the iteration/eval counters. Adam-phase resumes continue exactly. Checkpoints
+cut during the L-BFGS phase additionally carry the full ``LBFGSState`` (flat
+iterate, s/y ring buffers, rho, head/num, step/direction, counters), so a
+mid-L-BFGS resume continues the exact trajectory instead of warm-restarting
+with rebuilt history.
 """
 
 from __future__ import annotations
@@ -73,6 +73,60 @@ def restore_checkpoint(path: str, target: Any, backend: str | None = None) -> An
     raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
+def load_raw(path: str, backend: str | None = None) -> Any:
+    """Deserialize a checkpoint into raw nested containers (no template).
+
+    Lets callers restore structure-dependent sections selectively (e.g. the
+    optional ``lbfgs`` state written by mid-L-BFGS-phase checkpoints) instead
+    of requiring an exact-template match for the whole file.
+    """
+    if backend is None:
+        backend = "orbax" if path.endswith(".orbax") else "msgpack"
+    if backend == "msgpack":
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
+def restore_params(path: str, params_template: Any, backend: str | None = None) -> Any:
+    """Restore just the model parameters from a checkpoint that is either a
+    full training state (``{'params', 'opt_state', 'iteration'}``) or a
+    bare-params tree.
+
+    Unlike a try-full-then-retry-bare fallback, this inspects the serialized
+    structure, so a corrupt/truncated file surfaces as ONE deserialization
+    error instead of a misleading second-attempt failure (and a structurally
+    wrong checkpoint can never silently restore through the wrong branch).
+    """
+    if backend is None:
+        backend = "orbax" if path.endswith(".orbax") else "msgpack"
+    if backend == "msgpack":
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        tree = raw["params"] if isinstance(raw, dict) and "params" in raw else raw
+        return serialization.from_state_dict(params_template, tree)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        raw = ckptr.restore(os.path.abspath(path))
+        tree = raw["params"] if isinstance(raw, dict) and "params" in raw else raw
+        return jax.tree.map(
+            lambda t, r: np.asarray(r, dtype=np.asarray(t).dtype),
+            params_template,
+            tree,
+        )
+    raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+
 def latest_checkpoint(run_dir: str, prefix: str = "model_") -> str | None:
     """Find the highest-iteration ``model_<iter>.msgpack`` in a run dir."""
     best, best_it = None, -1
@@ -112,3 +166,15 @@ def checkpoint_crossed(start: int, end: int, kind: str) -> bool:
     checkpoint fires when the counter *crosses* a cadence boundary.
     """
     return any(checkpoint_due(i, kind) for i in range(start + 1, end + 1))
+
+
+def checkpoint_points(start: int, end: int, kind: str) -> list[int]:
+    """All cadence points in ``(start, end]``, in order.
+
+    One record block can cross several cadence points (L-BFGS chunks of
+    ~1000+ evaluations under the CMB every-1000 cadence); the trainer writes
+    one ``model_<point>`` per crossed point so the reference's naming
+    contract stays tight (each file holds the block-end state — mid-block
+    iterates are not materialized on host by design).
+    """
+    return [i for i in range(start + 1, end + 1) if checkpoint_due(i, kind)]

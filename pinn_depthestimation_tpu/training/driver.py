@@ -83,11 +83,16 @@ class Trainer:
         mesh=None,
         echo_every: int = 1000,
         initial_params=None,
+        lbfgs_record_capacity: int | None = None,
     ):
+        """``lbfgs_record_capacity``: device-side loss-record buffer size for
+        the L-BFGS phase; sets the host re-entry (log flush / checkpoint /
+        snapshot) granularity. Default ~1000 evaluations."""
         self.config = config
         self.spec = MLPSpec.from_layers(config.layers)
         self.mesh = mesh
         self.echo_every = echo_every
+        self._lbfgs_record_capacity = lbfgs_record_capacity
 
         self.data = training_data if training_data is not None else data_mod.load_training_data(config)
         for name, arr in (
@@ -121,6 +126,7 @@ class Trainer:
             fused_kernel=self.use_fused_kernel,
             fused_precision=config.kernel_precision,
             mesh=mesh,
+            fidelity_is_residual=getattr(self.data, "fidelity_is_residual", False),
         )
         self.optimizer = make_adam_optimizer(config)
 
@@ -136,6 +142,8 @@ class Trainer:
 
         self._adam_chunk = self._build_adam_chunk()
         self._lbfgs_runner: lbfgs_mod.LBFGSRunner | None = None
+        self._live_lbfgs_state = None       # exported into checkpoints
+        self._pending_lbfgs_resume = None   # raw dict from a restored ckpt
         self._predict = jax.jit(lambda p, x: mlp_apply(p, x, self.spec))
 
     def _decide_fused_kernel(self) -> bool:
@@ -180,9 +188,12 @@ class Trainer:
         leading = [
             names["residual_inputs"].index(c) for c in needed
         ] == list(range(len(needed)))
-        # measured: 4.4x end-to-end at 30k points / 21 layers; threshold set
-        # where kernel-launch overheads clearly amortize
-        big = self.data.residual_input.shape[0] >= 16384
+        # threshold set from a scan-chunked Adam-step A/B on v5e (101-layer
+        # flagship net, shared forward, round 2): fused/XLA step-time ratio
+        # 1.00x @4096, 1.05x @8192, 1.13x @12514 (the reference workload),
+        # 1.18x @16384 — crossover sits at ~4k, clear win from 8k up, so the
+        # flagship config_CMB_h problem (12,514 pts) trains fused by default
+        big = self.data.residual_input.shape[0] >= 8192
         return on_tpu and leading and big
 
     # ------------------------------------------------------------------ Adam
@@ -191,7 +202,7 @@ class Trainer:
         loss_fn, optimizer, spec = self.loss_fn, self.optimizer, self.spec
         use_dropout = spec.dropout_rate > 0.0
 
-        def chunk_fn(params, opt_state, batch, rng, length):
+        def chunk_fn(params, opt_state, batch, base_key, start, length):
             def body(carry, key):
                 params, opt_state = carry
                 dropout_rng = key if use_dropout else None
@@ -202,7 +213,17 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), jnp.stack([fid, res, total])
 
-            keys = jax.random.split(rng, length) if use_dropout else jnp.zeros((length,))
+            # per-step keys derived from the ABSOLUTE iteration index, so a
+            # resumed run replays the exact dropout sequence an uninterrupted
+            # run would have used from that point (chunk boundaries shift
+            # after a mid-chunk resume; split-per-chunk keys would not)
+            keys = (
+                jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                    start + jnp.arange(length)
+                )
+                if use_dropout
+                else jnp.zeros((length,))
+            )
             (params, opt_state), losses = lax.scan(body, (params, opt_state), keys)
             return params, opt_state, losses
 
@@ -216,12 +237,16 @@ class Trainer:
         (as long as N <= adam.max_it).
         """
         remaining = max(0, self.config.adam.max_it - self.state.iteration)
-        rng = jax.random.PRNGKey(self.config.seed + 1)
+        base_key = jax.random.PRNGKey(self.config.seed + 1)
         while remaining > 0:
             n = min(_CHUNK, remaining)
-            rng, sub = jax.random.split(rng)
             params, opt_state, losses = self._adam_chunk(
-                self.state.params, self.state.opt_state, self.batch, sub, n
+                self.state.params,
+                self.state.opt_state,
+                self.batch,
+                base_key,
+                jnp.int32(self.state.iteration),
+                n,
             )
             self.state.params, self.state.opt_state = params, opt_state
             self._record(np.asarray(losses))
@@ -251,20 +276,34 @@ class Trainer:
                 # ~1000-evaluation chunks: snapshot/checkpoint cadence inside
                 # the phase then quantizes like the Adam phase does, instead
                 # of at the default 8k-row buffer granularity
-                record_capacity=1000 + 2 * (lbfgs_mod.MAX_LS + 2),
+                record_capacity=(
+                    self._lbfgs_record_capacity
+                    if self._lbfgs_record_capacity is not None
+                    else 1000 + 2 * (lbfgs_mod.MAX_LS + 2)
+                ),
             )
         runner = self._lbfgs_runner
-        state = runner.init(self.state.params, self.batch)
+        if self._pending_lbfgs_resume is not None:
+            # exact-trajectory continuation: the checkpoint carried the full
+            # optimizer state (s/y history, direction, counters), so no init
+            # evaluation and no history warm-restart
+            state = runner.restore_state(self._pending_lbfgs_resume)
+            self._pending_lbfgs_resume = None
+        else:
+            state = runner.init(self.state.params, self.batch)
+        self._live_lbfgs_state = state
         while not runner.finished(state):
             state, records = runner.run_chunk(state, self.batch)
             # sync the live iterate BEFORE recording: checkpoints and the
             # 50k-snapshot cut inside this phase must see current weights
             # (the reference saves the live module, train.py:179)
             self.state.params = runner.get_params(state)
+            self._live_lbfgs_state = state
             self._record(records)
         # the init evaluation's record may still be unflushed (immediate
         # convergence): the reference logs every closure call (train.py:162)
         state, leftover = runner.drain_records(state)
+        self._live_lbfgs_state = state
         if leftover.size:
             self.state.params = runner.get_params(state)
             self._record(leftover)
@@ -321,8 +360,11 @@ class Trainer:
             if self.echo_every and epoch % self.echo_every == 0:
                 LossLog.echo(epoch, fid, res, total)
         it = self.state.iteration
-        if ckpt_mod.checkpoint_crossed(start, it, self.config.kind):
-            self.save(f"model_{it}")
+        for point in ckpt_mod.checkpoint_points(start, it, self.config.kind):
+            # one file per crossed cadence point, named with the cadence
+            # value (reference model_<iter> contract); each holds the
+            # block-end state — see checkpoint.checkpoint_points
+            self.save(f"model_{point}")
         snap = self.config.snapshot_iteration
         if snap is not None and start < snap <= it:
             self._maybe_snapshot()
@@ -353,11 +395,23 @@ class Trainer:
     # ----------------------------------------------------------- checkpoints
 
     def _checkpoint_state(self) -> dict:
-        return {
+        state = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "iteration": np.asarray(self.state.iteration, np.int64),
         }
+        live = self._live_lbfgs_state
+        if (
+            live is not None
+            and self._lbfgs_runner is not None
+            and int(live.reason) == lbfgs_mod.RUNNING
+        ):
+            # mid-L-BFGS-phase checkpoints carry the full optimizer state so
+            # --resume continues the exact trajectory (s/y history intact).
+            # Finished states are NOT exported: resuming from a completed
+            # run's checkpoint keeps the documented warm-restart semantics.
+            state["lbfgs"] = self._lbfgs_runner.export_state(live)
+        return state
 
     def save(self, name: str) -> str:
         return ckpt_mod.save_checkpoint(
@@ -365,7 +419,17 @@ class Trainer:
         )
 
     def restore(self, path: str) -> None:
-        restored = ckpt_mod.restore_checkpoint(path, self._checkpoint_state())
+        from flax import serialization
+
+        raw = ckpt_mod.load_raw(path)
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "iteration": np.asarray(self.state.iteration, np.int64),
+        }
+        restored = serialization.from_state_dict(
+            template, {k: raw[k] for k in template}
+        )
         params = jax.tree.map(jnp.asarray, restored["params"])
         opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
         if self.mesh is not None:
@@ -376,3 +440,5 @@ class Trainer:
             opt_state=opt_state,
             iteration=int(restored["iteration"]),
         )
+        # optional section written by mid-L-BFGS checkpoints
+        self._pending_lbfgs_resume = raw.get("lbfgs")

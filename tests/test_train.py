@@ -268,3 +268,112 @@ def test_training_is_deterministic(newmethod_setup):
     assert t1 == t2
     for k in p1:
         np.testing.assert_array_equal(p1[k], p2[k])
+
+
+def test_lbfgs_state_checkpoint_exact_continuation(newmethod_setup):
+    """A checkpoint cut DURING the L-BFGS phase carries the full optimizer
+    state (s/y ring buffers, direction, counters); resuming from it replays
+    the uninterrupted run's remaining loss rows bit-for-bit."""
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=10, lbfgs_it=40))
+
+    saved = {}
+
+    class MidPhaseSaver(Trainer):
+        def _record(self, losses):
+            super()._record(losses)
+            # snag the first checkpoint opportunity inside the L-BFGS phase
+            if (
+                "path" not in saved
+                and self._live_lbfgs_state is not None
+                and int(self._live_lbfgs_state.reason) == 0  # RUNNING
+            ):
+                saved["path"] = self.save("model_midphase")
+                saved["iteration"] = self.state.iteration
+
+    run_a = str(tmp_path / "full"); os.makedirs(run_a)
+    # tiny record buffer -> several host re-entries inside the L-BFGS phase
+    tr_a = MidPhaseSaver(cfg, run_dir=run_a, echo_every=0,
+                         lbfgs_record_capacity=40)
+    tr_a.train()
+    assert "path" in saved, "no mid-phase chunk boundary hit; enlarge budget"
+    epochs_a, fid_a, res_a, tot_a = read_log(run_a)
+
+    run_b = str(tmp_path / "resumed"); os.makedirs(run_b)
+    tr_b = Trainer(cfg, run_dir=run_b, echo_every=0, lbfgs_record_capacity=40)
+    tr_b.restore(saved["path"])
+    assert tr_b._pending_lbfgs_resume is not None  # state section present
+    tr_b.train()
+    epochs_b, fid_b, res_b, tot_b = read_log(run_b)
+
+    # B's log must be exactly A's tail from the checkpoint iteration on
+    k = saved["iteration"]
+    assert epochs_b == epochs_a[k:]
+    assert tot_b == tot_a[k:]
+    assert fid_b == fid_a[k:]
+    # and the final parameters must agree bit-for-bit
+    for key in tr_a.state.params:
+        np.testing.assert_array_equal(
+            np.asarray(tr_a.state.params[key]), np.asarray(tr_b.state.params[key])
+        )
+
+
+def test_lbfgs_runner_export_restore_roundtrip(newmethod_setup):
+    """LBFGSRunner.export_state/restore_state: shape validation + exact
+    trajectory equivalence at the runner level."""
+    import jax
+
+    from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+    from pinn_depthestimation_tpu.optim import lbfgs as lbfgs_mod
+    from pinn_depthestimation_tpu.training import build_loss_fn
+
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=0, lbfgs_it=30))
+    td = data_mod.load_training_data(cfg)
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    loss_fn = build_loss_fn(cfg, spec, fidelity_is_residual=True)
+    batch = {k: np.asarray(v) for k, v in {
+        "fidelity_input": td.fidelity_input, "fidelity_true": td.fidelity_true,
+        "residual_input": td.residual_input}.items()}
+    opts = lbfgs_mod.LBFGSOptions(max_iter=30, max_eval=60, history_size=10,
+                                  tolerance_grad=1e-11, tolerance_change=1e-14)
+
+    def run_to_end(runner, state):
+        rows = []
+        while not runner.finished(state):
+            state, rec = runner.run_chunk(state, batch)
+            rows.append(rec)
+        return state, np.concatenate(rows) if rows else np.zeros((0, 3))
+
+    # uninterrupted
+    r1 = lbfgs_mod.LBFGSRunner(loss_fn, params, opts, record_capacity=64)
+    s1 = r1.init(params, batch)
+    s1_end, rows_full = run_to_end(r1, s1)
+
+    # interrupted after the first chunk, serialized through export/restore
+    r2 = lbfgs_mod.LBFGSRunner(loss_fn, params, opts, record_capacity=64)
+    s2 = r2.init(params, batch)
+    s2, rows_head = r2.run_chunk(s2, batch)
+    blob = r2.export_state(s2)
+    assert "records" not in blob and "rec_count" not in blob
+    r3 = lbfgs_mod.LBFGSRunner(loss_fn, params, opts, record_capacity=64)
+    s3 = r3.restore_state(blob)
+    s3_end, rows_tail = run_to_end(r3, s3)
+
+    np.testing.assert_array_equal(
+        np.concatenate([rows_head, rows_tail]), rows_full
+    )
+    np.testing.assert_array_equal(np.asarray(s1_end.x), np.asarray(s3_end.x))
+    assert int(s1_end.reason) == int(s3_end.reason)
+    assert int(s1_end.func_evals) == int(s3_end.func_evals)
+
+    # validation errors
+    import pytest as _pytest
+
+    bad = dict(blob); bad.pop("rho")
+    with _pytest.raises(ValueError, match="missing fields"):
+        r3.restore_state(bad)
+    bad = dict(blob); bad["rho"] = np.zeros((3,), np.float32)
+    with _pytest.raises(ValueError, match="history_size"):
+        r3.restore_state(bad)
