@@ -99,6 +99,22 @@ def cmd_test(args) -> int:
 
         savemat(args.save, {f"pred_{k}": v for k, v in result.pred.items()})
         print(f"Predictions saved to {args.save}")
+    if args.plot:
+        from pinn_depthestimation_tpu.plotting import make_result_plots
+
+        plot_cfg = dict(config.raw)
+        plot_cfg.setdefault("plot", {})
+        if args.plot is not True:  # a directory was given
+            plot_cfg["plot"] = {**plot_cfg["plot"], "dir": args.plot}
+        try:
+            paths = make_result_plots(
+                result, plot_cfg, cross_section=args.cross_section
+            )
+        except ValueError as e:
+            print(f"Error making plots: {e}")
+            return 1
+        for path in paths:
+            print(f"Wrote {path}")
     print("Prediction done!")
     return 0
 
@@ -170,6 +186,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_config_arg(te)
     te.add_argument("--model", default=None, help="checkpoint (default: data_test.model)")
     te.add_argument("--save", default=None, help="write predictions to this .mat")
+    te.add_argument("--plot", nargs="?", const=True, default=False, metavar="DIR",
+                    help="write the reference plot products (test.py:110-130); "
+                         "optional output dir overrides config plot.dir")
+    te.add_argument("--cross-section", type=int, default=None,
+                    help="row index for the 1-D profiles (default: mid row; "
+                         "the reference hardcodes 131)")
     te.set_defaults(fn=cmd_test)
 
     b = sub.add_parser("bench", help="residual-throughput benchmark")

@@ -164,6 +164,89 @@ def plot_log(log_path, plot_path, *, x_max=50_000, y_limits=(0.001, 10)):
     return path
 
 
+def make_result_plots(result, config, *, cross_section: int | None = None) -> list:
+    """Wire an :class:`~pinn_depthestimation_tpu.inference.InferenceResult`
+    into the reference's plot products.
+
+    The reference ships this wiring commented out (reference
+    ``test.py:110-130``): quiver of exact-vs-predicted currents, pcolor map
+    of predicted depth, true/pred two-column map, and cross-shore 1-D
+    exact-vs-pred profiles at a fixed row (the reference hardcodes CS=131;
+    here it defaults to the mid row). Which products fire is data-driven:
+    each needs its variables present in both ``result.pred`` and
+    ``result.true`` (the quiver/profiles) or in ``result.pred`` alone (the
+    depth map). Returns the list of written paths.
+    """
+    paths: list = []
+    x, y = result.inputs.get("x"), result.inputs.get("y")
+    if x is None or y is None or np.ndim(x) != 2:
+        raise ValueError(
+            "plotting needs 2-D x/y input grids — set nx/ny in data_test"
+        )
+    t = result.inputs.get("t")
+    if t is None or np.ndim(t) != 2:
+        t = np.zeros_like(x)
+
+    def grid(arr):
+        arr = np.asarray(arr, np.float64)
+        if arr.shape == x.shape:
+            return arr
+        if arr.size == x.size:
+            return arr.reshape(x.shape)
+        return None
+
+    def paired(key):
+        if key in result.pred and key in result.true:
+            tr, pr = grid(result.true[key]), grid(result.pred[key])
+            if tr is not None and pr is not None:
+                return tr, pr
+        return None
+
+    # exact vs predicted currents (reference test.py:111)
+    for ukey, vkey in (("U", "V"), ("u", "v")):
+        uu, vv = paired(ukey), paired(vkey)
+        if uu and vv:
+            paths.append(
+                plot_quiver(t, x, y, uu[0], vv[0], uu[1], vv[1], config)
+            )
+            break
+
+    # predicted water depth map (reference test.py:114)
+    if "h" in result.pred:
+        h_pred = grid(result.pred["h"])
+        if h_pred is not None:
+            paths.append(plot_cmap(t, x, y, h_pred, config, "depth", -2, 1))
+
+    # true-vs-pred eta comparison map (reference test.py:117)
+    for key in ("eta_mean", "eta", "z"):
+        pair = paired(key)
+        if pair:
+            paths.append(
+                plot_cmap_2column(t, x, y, pair[0], pair[1], config, "eta", -1, 1)
+            )
+            break
+
+    # cross-shore 1-D profiles (reference test.py:120-130; CS=131 there)
+    cs = cross_section if cross_section is not None else x.shape[0] // 2
+    profile_specs = (
+        ("z", "eta", 1.0, (-0.5, 1.5)),
+        ("u", "u", 1.0, (-3, 3)),
+        ("v", "v", 1.0, (-3, 3)),
+        ("h", "depth", -1.0, (-1, 0)),  # depth plotted negative-down
+    )
+    for key, var_name, sign, (v_min, v_max) in profile_specs:
+        pair = paired(key)
+        if pair:
+            paths.append(
+                plot_2lines(
+                    t[cs, :], x[cs, :], y[cs, :],
+                    sign * pair[0][cs, :], sign * pair[1][cs, :],
+                    config, var_name, v_min, v_max, cs,
+                )
+            )
+    return paths
+
+
 def images_to_video(image_folder: str, output_path: str, *, frame_rate: int = 5) -> str:
     """PNG sequence -> XVID AVI (capability of ``utilities/imgtovid.py``).
 

@@ -113,3 +113,45 @@ def test_mesh_flag(config_file):
     assert len(epochs) >= 6
     vals = [float(line.split(", ")[3]) for line in epochs[1:]]
     assert all(np.isfinite(v) for v in vals)
+
+
+def test_test_plot_flag_writes_reference_products(config_file, capsys):
+    """`pinn-tpu test --plot DIR` wires InferenceResult into the reference
+    plot products (reference test.py:110-130, shipped commented-out) with the
+    reference filename patterns."""
+    config, tmp_path = config_file
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "rp"])
+    assert rc == 0
+    capsys.readouterr()
+
+    plot_dir = tmp_path / "plots"
+    rc = main(["test", "--config", config,
+               "--model", str(tmp_path / "log" / "rp" / "model.msgpack"),
+               "--plot", str(plot_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Wrote" in out
+    names = sorted(os.listdir(plot_dir))
+    # quiver of U/V (true+pred available) and the predicted-depth map
+    assert any(n.startswith("quiver_") and n.endswith("sec.png") for n in names)
+    assert any(n.startswith("depth_") and n.endswith("sec.png") for n in names)
+
+
+def test_test_plot_without_grid_errors_cleanly(config_file, tmp_path, capsys):
+    """--plot on a config without nx/ny grid info exits nonzero with a clear
+    message instead of a traceback."""
+    config, base = config_file
+    raw = json.loads(open(config).read())
+    raw["data_test"].pop("nx"); raw["data_test"].pop("ny")
+    bad = base / "config_nogrid.json"
+    bad.write_text(json.dumps(raw))
+    rc = main(["train", "--config", config,
+               "--log-root", str(base / "log"), "--run-name", "rg"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["test", "--config", str(bad),
+               "--model", str(base / "log" / "rg" / "model.msgpack"),
+               "--plot", str(base / "plots2")])
+    assert rc == 1
+    assert "Error making plots" in capsys.readouterr().out
