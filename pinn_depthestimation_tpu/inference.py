@@ -69,14 +69,10 @@ class Predictor:
         params = init_mlp_params(jax.random.PRNGKey(config.seed), self.spec)
         path = checkpoint_path or td.model
         if path:
-            template = {"params": params}
-            try:
-                restored = ckpt_mod.restore_checkpoint(path, template)
-                params = jax.tree.map(jnp.asarray, restored["params"])
-            except Exception:
-                # bare-params checkpoint (no optimizer state wrapper)
-                restored = ckpt_mod.restore_checkpoint(path, params)
-                params = jax.tree.map(jnp.asarray, restored)
+            # structure-aware restore: accepts full training-state or
+            # bare-params checkpoints; corrupt files raise one clear error
+            restored = ckpt_mod.restore_params(path, params)
+            params = jax.tree.map(jnp.asarray, restored)
         self.params = params
         from pinn_depthestimation_tpu.ops import kernels
 
@@ -145,6 +141,17 @@ class Predictor:
         Mirrors the reference's fixed TTA optimizer settings (``test.py:45-54``:
         max_iter=1, max_eval=2, history_size=10, tolerances from the config)
         while generalizing the iteration budget. Returns evaluation count.
+
+        **Deliberate divergence from observable reference behavior**: the
+        reference hardcodes ``Navier_Stokes`` as the TTA equation regardless
+        of pipeline (``test.py:6,96``) — which would ``AttributeError`` on
+        the shipped CMB configs, since their test inputs lack the t/z/u/v
+        variables Navier-Stokes needs (the reference's TTA path is broken
+        as shipped). Here the equation defaults to ``config.physics`` (the
+        equation the model was trained against) with an ``equation=``
+        override; pass ``equation='navier_stokes'`` for literal reference
+        semantics when the test inputs support it. Also documented in
+        README.md / STATUS.md.
         """
         eq_name = equation or self.config.physics
         equation_fn = physics.residual_loss(eq_name)
