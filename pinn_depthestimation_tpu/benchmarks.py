@@ -95,5 +95,25 @@ def run_residual_bench(
     }
 
 
+def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
+    """The full driver record: headline = honest pallas-f32 number, plus the
+    other two tiers as ``extras`` so regressions in any tier show up in the
+    per-round BENCH history (the one-JSON-line contract is unchanged —
+    extras ride inside the line)."""
+    headline = run_residual_bench(n_points=n_points, reps=reps)
+    extras = {}
+    if "pallas" in headline["metric"]:
+        # bf16 at full size; XLA tier at a reduced point count (it is ~3x
+        # slower and only needs a regression-tracking number)
+        extras["bf16"] = run_residual_bench(
+            n_points=n_points, backend="pallas", precision="bf16", reps=reps
+        )["value"]
+        extras["xla"] = run_residual_bench(
+            n_points=max(n_points // 4, 1), backend="xla", reps=max(reps - 2, 3)
+        )["value"]
+    headline["extras"] = extras
+    return headline
+
+
 def main() -> None:
-    print(json.dumps(run_residual_bench()))
+    print(json.dumps(run_bench_suite()))

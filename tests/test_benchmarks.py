@@ -37,3 +37,35 @@ def test_backend_selection():
     assert name == "xla"
     _, name = benchmarks.residual_eval_fn(spec, "pallas", precision="bf16")
     assert name == "pallas-bf16"
+
+
+def test_bench_suite_contract(monkeypatch):
+    calls = []
+
+    def fake_bench(**kw):
+        calls.append(kw)
+        backend = kw.get("backend", "auto")
+        name = {"auto": "pallas-f32", "pallas": "pallas-bf16", "xla": "xla"}[backend]
+        return {"metric": f"residual_evals_per_sec_per_chip[{name}]",
+                "value": 5.0, "unit": "u", "vs_baseline": 1.0}
+
+    monkeypatch.setattr(benchmarks, "run_residual_bench", fake_bench)
+    result = benchmarks.run_bench_suite(n_points=1000, reps=3)
+    assert set(result) == {"metric", "value", "unit", "vs_baseline", "extras"}
+    assert set(result["extras"]) == {"bf16", "xla"}
+    json.dumps(result)
+    # headline stays the honest f32 tier
+    assert "pallas-f32" in result["metric"]
+
+
+def test_bench_suite_single_line(capsys, monkeypatch):
+    monkeypatch.setattr(
+        benchmarks, "run_bench_suite",
+        lambda **kw: {"metric": "m", "value": 1.0, "unit": "u",
+                      "vs_baseline": 2.0, "extras": {"bf16": 3.0, "xla": 0.5}},
+    )
+    benchmarks.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    parsed = json.loads(out[0])
+    assert parsed["extras"]["bf16"] == 3.0
