@@ -451,6 +451,19 @@ def packed_mlp_bwd(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_apply_core(
+    params: dict,
+    coords: jax.Array,
+    spec: MLPSpec,
+    n_tangents: int,
+    precision: str = "f32",
+    interpret: bool = False,
+):
+    return packed_mlp_fwd_tangents(
+        params, coords, spec, n_tangents, precision=precision, interpret=interpret
+    )
+
+
 def fused_apply_with_tangents(
     params: dict,
     coords: jax.Array,
@@ -462,11 +475,19 @@ def fused_apply_with_tangents(
     """Differentiable fused forward+tangents.
 
     Forward == ``kernels.packed_mlp_fwd_tangents``; backward is the fused
-    Pallas VJP kernel. The cotangent w.r.t. ``coords`` is NOT computed
-    (training never differentiates w.r.t. the data); it is returned as zeros.
+    Pallas VJP kernel.
+
+    .. warning:: **coords is NOT differentiable through this function.**
+       The VJP w.r.t. ``coords`` is not implemented; ``coords`` passes
+       through ``lax.stop_gradient`` here, so any gradient w.r.t. the
+       coordinates (e.g. a fused Sobolev-style loss or coordinate-space
+       test-time adaptation) is identically zero by AD semantics — do not
+       build such losses on this path; use the XLA
+       ``mlp_apply_with_tangents`` instead, which differentiates fully.
     """
-    return packed_mlp_fwd_tangents(
-        params, coords, spec, n_tangents, precision=precision, interpret=interpret
+    return _fused_apply_core(
+        params, jax.lax.stop_gradient(coords), spec, n_tangents,
+        precision=precision, interpret=interpret,
     )
 
 
@@ -487,4 +508,4 @@ def _fused_bwd(spec, n_tangents, precision, interpret, residuals, cotangents):
     return grads, jnp.zeros_like(coords)
 
 
-fused_apply_with_tangents.defvjp(_fused_fwd, _fused_bwd)
+_fused_apply_core.defvjp(_fused_fwd, _fused_bwd)
