@@ -132,7 +132,13 @@ class FidelityDataConfig:
 
 @dataclass(frozen=True)
 class ResidualDataConfig:
-    """CMB residual/collocation block (reference ``config_CMB.json:46-56``)."""
+    """CMB residual/collocation block (reference ``config_CMB.json:46-56``).
+
+    ``input_files``/``output_files`` carry the per-key file stems of the
+    legacy schema (reference ``config.json:40-52``: each input/output maps to
+    a ``{"file": stem}`` entry naming the FUNWAVE snapshot file family or the
+    static ``dep.out``); for current-schema configs they equal the names.
+    """
 
     file: str
     inputs: tuple[str, ...]
@@ -141,6 +147,29 @@ class ResidualDataConfig:
     interval_x: int = 1
     interval_y: int = 1
     snapshots: tuple[int, ...] = ()
+    input_files: tuple[str, ...] = ()
+    output_files: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class NumericalModelConfig:
+    """Legacy FUNWAVE snapshot-grid block (reference ``config.json:55-68``):
+    the uniform grid the time-indexed snapshot files live on, plus the
+    subsampling intervals and snapshot time spacing."""
+
+    dir: str
+    nx: int
+    ny: int
+    dx: float
+    dy: float
+    x_min: float
+    x_max: float
+    y_min: float
+    y_max: float
+    interval_x: int = 1
+    interval_y: int = 1
+    dt: float = 1.0
+    number_of_files: int | None = None
 
 
 @dataclass(frozen=True)
@@ -201,6 +230,7 @@ class Config:
     data_residual: ResidualDataConfig | None = None
     data: UnifiedDataConfig | None = None
     data_test: TestDataConfig | None = None
+    numerical_model: NumericalModelConfig | None = None
     physics: str = "continuity_only"
     parity: bool = True
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
@@ -319,6 +349,17 @@ def _output_names(d: Any) -> tuple[str, ...]:
     return tuple(str(x) for x in d)
 
 
+def _file_stems(d: Any, names: tuple[str, ...]) -> tuple[str, ...]:
+    """Per-key file stems of the legacy mapping schema (reference
+    ``config.json:40-52``); the key name itself when absent."""
+    if isinstance(d, Mapping):
+        return tuple(
+            str(v.get("file", k)) if isinstance(v, Mapping) else str(k)
+            for k, v in d.items()
+        )
+    return names
+
+
 def _as_kernel_precision(value: Any) -> str:
     v = str(value).lower()
     if v not in ("f32", "bf16"):
@@ -395,6 +436,10 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
                 _as_int(s, "data_residual.snapshots")
                 for s in rd.get("snapshots", rd.get("numerical_model_snapshots", ()))
             ),
+            input_files=_file_stems(rd.get("inputs"), r_names),
+            output_files=_file_stems(
+                rd.get("outputs", ()), _output_names(rd.get("outputs", ()))
+            ),
         )
         if len(fid_inputs) != layers.input_features:
             raise ConfigError(
@@ -445,6 +490,32 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
     default_snapshot = 50_000 if (kind == "newmethod" and data and data.unknowns) else None
     snap = raw.get("snapshot_iteration", default_snapshot)
 
+    numerical_model = None
+    if "numerical_model" in raw:
+        nm = raw["numerical_model"]
+        for req in ("dir", "nx", "ny", "dx", "dy", "x_min", "y_min"):
+            if req not in nm:
+                raise ConfigError(f"numerical_model.{req} is required")
+        numerical_model = NumericalModelConfig(
+            dir=str(nm["dir"]),
+            nx=_as_int(nm["nx"], "numerical_model.nx"),
+            ny=_as_int(nm["ny"], "numerical_model.ny"),
+            dx=_as_float(nm["dx"], "numerical_model.dx"),
+            dy=_as_float(nm["dy"], "numerical_model.dy"),
+            x_min=_as_float(nm["x_min"], "numerical_model.x_min"),
+            x_max=_as_float(nm.get("x_max", 0.0), "numerical_model.x_max"),
+            y_min=_as_float(nm["y_min"], "numerical_model.y_min"),
+            y_max=_as_float(nm.get("y_max", 0.0), "numerical_model.y_max"),
+            interval_x=_as_int(nm.get("interval_x", 1), "numerical_model.interval_x"),
+            interval_y=_as_int(nm.get("interval_y", 1), "numerical_model.interval_y"),
+            dt=_as_float(nm.get("dt", 1.0), "numerical_model.dt"),
+            number_of_files=(
+                _as_int(nm["number_of_files"], "numerical_model.number_of_files")
+                if "number_of_files" in nm
+                else None
+            ),
+        )
+
     return Config(
         raw=raw,
         kind=kind,
@@ -458,6 +529,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
         data_residual=data_residual,
         data=data,
         data_test=data_test,
+        numerical_model=numerical_model,
         physics=physics,
         parity=bool(raw.get("parity", True)),
         parallel=parallel,

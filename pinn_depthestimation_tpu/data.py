@@ -24,6 +24,7 @@ Three loaders:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -150,9 +151,173 @@ def load_newmethod_training_data(config: Config) -> TrainingData:
     )
 
 
+def _read_legacy_fidelity_csv(path: str) -> pd.DataFrame:
+    """Read the legacy FUNWAVE-extracted fidelity CSV.
+
+    The reference's prep script writes it space-separated with NO header in
+    the fixed column order ``t x y h z u v`` (reference
+    ``utilities/input_prep_B2d.py:4,59``), while ``train.py:217`` reads it as
+    if it had one — part of why the legacy configs cannot run upstream
+    (SURVEY.md §5 quirk 5). Here: a header row is used when present,
+    otherwise the prep script's column order is assumed.
+    """
+    with open(path) as f:
+        first = f.readline()
+    has_header = any(c.isalpha() for c in first.replace("e", "").replace("E", ""))
+    if has_header:
+        return pd.read_csv(path, sep=None, engine="python")
+    frame = pd.read_csv(path, sep=r"\s+", header=None)
+    legacy_cols = ["t", "x", "y", "h", "z", "u", "v"]
+    if frame.shape[1] != len(legacy_cols):
+        raise ValueError(
+            f"{path!r}: headerless legacy fidelity CSV must have the "
+            f"{len(legacy_cols)} columns {legacy_cols} "
+            f"(input_prep_B2d.py order), got {frame.shape[1]}"
+        )
+    frame.columns = legacy_cols
+    return frame
+
+
+def _read_funwave_grid(path: str, nx: int, ny: int) -> np.ndarray:
+    """One whitespace-ASCII FUNWAVE grid file -> (ny, nx) float array
+    (the ``dep.out`` layout read by reference ``input_prep_B2d.py:41-44``)."""
+    arr = np.loadtxt(path, dtype=np.float64)
+    arr = np.atleast_2d(arr)
+    if arr.shape != (ny, nx):
+        raise ValueError(
+            f"{path!r}: expected a ({ny}, {nx}) grid, got {arr.shape}"
+        )
+    return arr
+
+
+def load_legacy_training_data(
+    config: Config, rng: np.random.RandomState | None = None
+) -> TrainingData:
+    """The legacy ``numerical_model`` pipeline (reference ``config.json:38-69``):
+    fidelity from the FUNWAVE-extracted CSV, residual collocation points from
+    a directory of time-indexed snapshot grids.
+
+    The reference's own ``train.py`` cannot run this schema (it expects
+    ``data_fidelity.file`` and a ``.mat`` residual; the legacy configs are
+    stale upstream — SURVEY.md §5 quirk 5), so this loader reconstructs the
+    *described* capability:
+
+    * coordinate channels ``t``/``X``/``Y`` are synthesized from the
+      ``numerical_model`` grid block (``t = dt * snapshot_index``);
+    * field channels (stems like ``eta``/``u``/``v``) load
+      ``<dir>/<stem>_<snap:05d>`` (FUNWAVE-TVD ASCII snapshot naming);
+      a stem that names an existing file (``dep.out``) loads once and tiles
+      across snapshots;
+    * grids subsample ``[::interval_y, ::interval_x]`` (x strides columns —
+      the dimensionally consistent reading of the reference's lost slicing);
+    * inputs normalize with the FIDELITY min/max when the key exists there
+      (reference ``train.py:263``), else their own range;
+    * per-snapshot Fortran-column flattening and NaN-row masking follow the
+      CMB residual conventions (reference ``train.py:265-277``).
+    """
+    fd, rd, nm = config.data_fidelity, config.data_residual, config.numerical_model
+    assert fd is not None and rd is not None and nm is not None
+    if not rd.snapshots:
+        raise ValueError(
+            "legacy numerical_model pipeline needs data_residual."
+            "numerical_model_snapshots"
+        )
+    if rng is None:
+        rng = np.random.RandomState(config.seed)
+
+    # --- fidelity: legacy CSV (round(3) like reference train.py:218)
+    frame = _read_legacy_fidelity_csv(fd.file).round(3)
+    missing = [k for k in (*fd.inputs, *fd.outputs) if k not in frame.columns]
+    if missing:
+        raise KeyError(f"{fd.file!r} is missing fidelity columns {missing}")
+    fidelity_input = {k: frame[k].to_numpy(np.float64) for k in fd.inputs}
+    fidelity_true = {k: frame[k].to_numpy(np.float64) for k in fd.outputs}
+    input_min_max = ops.get_min_max(fidelity_input, config.raw)
+    for key in fidelity_input:
+        lo, hi = input_min_max[key]
+        fidelity_input[key] = ops.normalize(fidelity_input[key], lo, hi)
+    fid_in = np.column_stack([fidelity_input[k] for k in fd.inputs])
+    fid_true = np.column_stack([fidelity_true[k] for k in fd.outputs])
+    if fd.training_points and fd.training_points < fid_in.shape[0]:
+        idx = rng.choice(fid_in.shape[0], fd.training_points, replace=False)
+        fid_in, fid_true = fid_in[idx, :], fid_true[idx, :]
+
+    # --- residual: snapshot-grid channels
+    ix, iy = nm.interval_x, nm.interval_y
+    xs = nm.x_min + nm.dx * np.arange(nm.nx)
+    ys = nm.y_min + nm.dy * np.arange(nm.ny)
+    X, Y = np.meshgrid(xs, ys)                      # (ny, nx)
+    X, Y = X[::iy, ::ix], Y[::iy, ::ix]
+    pts_per_snap = X.size
+    snaps = list(rd.snapshots)
+    if nm.number_of_files is not None:
+        bad = [s for s in snaps if not (0 <= s < nm.number_of_files)]
+        if bad:
+            raise ValueError(
+                f"snapshots {bad} outside numerical_model.number_of_files="
+                f"{nm.number_of_files}"
+            )
+
+    def channel(stem: str) -> np.ndarray:
+        """(n_snaps * pts, 1) Fortran-flattened stacked channel."""
+        low = stem.lower()
+        if low == "t":
+            t_vals = np.asarray([nm.dt * s for s in snaps], np.float64)
+            return np.repeat(t_vals, pts_per_snap).reshape(-1, 1)
+        if low == "x":
+            return np.concatenate([_fortran_column(X)] * len(snaps))
+        if low == "y":
+            return np.concatenate([_fortran_column(Y)] * len(snaps))
+        static_path = os.path.join(nm.dir, stem)
+        if os.path.exists(static_path):
+            g = _read_funwave_grid(static_path, nm.nx, nm.ny)[::iy, ::ix]
+            return np.concatenate([_fortran_column(g)] * len(snaps))
+        cols = []
+        for s in snaps:
+            snap_path = os.path.join(nm.dir, f"{stem}_{s:05d}")
+            if not os.path.exists(snap_path):
+                raise FileNotFoundError(
+                    f"snapshot file {snap_path!r} not found (stem {stem!r}, "
+                    f"snapshot {s}; expected FUNWAVE '<stem>_NNNNN' naming "
+                    f"or a static file named {stem!r})"
+                )
+            cols.append(
+                _fortran_column(_read_funwave_grid(snap_path, nm.nx, nm.ny)[::iy, ::ix])
+            )
+        return np.concatenate(cols)
+
+    columns = []
+    for key, stem in zip(rd.inputs, rd.input_files):
+        col = channel(stem)
+        if key in input_min_max:
+            lo, hi = input_min_max[key]          # reference train.py:263
+        else:
+            mm = ops.get_min_max({key: col}, config.raw)
+            lo, hi = mm[key]
+        columns.append(ops.normalize(col, lo, hi))
+        input_min_max.setdefault(key, (lo, hi))
+    residual_input = np.hstack(columns)
+    mask = np.isnan(residual_input).any(axis=1)
+    residual_input = residual_input[~mask]
+
+    return TrainingData(
+        fidelity_input=np.asarray(fid_in, dtype=np.float32),
+        fidelity_true=np.asarray(fid_true, dtype=np.float32),
+        residual_input=np.asarray(residual_input, dtype=np.float32),
+        input_min_max={k: (float(lo), float(hi)) for k, (lo, hi) in input_min_max.items()},
+    )
+
+
 def load_training_data(config: Config, rng: np.random.RandomState | None = None) -> TrainingData:
     if config.kind == "newmethod":
         return load_newmethod_training_data(config)
+    if (
+        config.numerical_model is not None
+        and config.data_residual is not None
+        and config.data_residual.snapshots
+        and not config.data_residual.file
+    ):
+        return load_legacy_training_data(config, rng)
     return load_cmb_training_data(config, rng)
 
 

@@ -1,0 +1,159 @@
+"""Legacy `numerical_model` FUNWAVE-snapshot pipeline (reference
+config.json:38-69 / config_txyz.json).
+
+The reference's own train.py cannot run these configs (it expects
+data_fidelity.file + a .mat residual; SURVEY.md §5 quirk 5) — this rebuilds
+the described capability: snapshot-directory ingestion into a (t,x,y,...)
+collocation set feeding navier_stokes, end to end.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pinn_depthestimation_tpu import data as data_mod
+from pinn_depthestimation_tpu.config import load_config, parse_config
+from pinn_depthestimation_tpu.training import Trainer
+from pinn_depthestimation_tpu.training.logging_utils import read_log
+from pinn_depthestimation_tpu.utils import synthetic
+
+NX, NY, DX, DY = 25, 21, 2.0, 2.0
+SNAPS = (200, 201, 202)
+
+
+def _legacy_raw(snap_dir, csv_path, *, interval=2, adam_it=8, lbfgs_it=3):
+    """config.json-shaped raw dict (5 inputs t,x,y,u,v; 4 outputs h,z,u,v)."""
+    return {
+        "layers": {"input_features": 5, "hidden_layers": 3, "hidden_width": 16,
+                   "output_features": 4, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": adam_it, "learning_rate": 1e-3,
+                           "scheduler_step_size": 100, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": lbfgs_it, "learning_rate": 1,
+                            "max_evaluation": 4 * max(lbfgs_it, 1),
+                            "history_size": 10, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data_fidelity": {"dir": csv_path,
+                          "inputs": ["t", "x", "y", "u", "v"],
+                          "outputs": ["h", "z", "u", "v"],
+                          "training_points": 200},
+        "data_residual": {
+            "inputs": {"t": {"file": "t", "requires_grad": ["true"]},
+                       "x": {"file": "X", "requires_grad": ["true"]},
+                       "y": {"file": "Y", "requires_grad": ["true"]},
+                       "u": {"file": "u", "requires_grad": ["false"]},
+                       "v": {"file": "v", "requires_grad": ["false"]}},
+            "outputs": {"h": {"file": "dep.out"}, "z": {"file": "eta"},
+                        "u": {"file": "u"}, "v": {"file": "v"}},
+            "numerical_model_snapshots": list(SNAPS),
+        },
+        "numerical_model": {"dir": snap_dir, "nx": NX, "ny": NY,
+                            "dx": DX, "dy": DY,
+                            "x_min": 0.0, "x_max": DX * (NX - 1),
+                            "y_min": 0.0, "y_max": DY * (NY - 1),
+                            "interval_x": interval, "interval_y": interval,
+                            "dt": 1.0, "number_of_files": 501},
+        "physics": "navier_stokes",
+    }
+
+
+@pytest.fixture
+def snapshot_setup(tmp_path):
+    snap_dir, csv = synthetic.make_funwave_snapshot_dir(
+        str(tmp_path / "beach2d"), nx=NX, ny=NY, dx=DX, dy=DY,
+        snapshots=SNAPS, seed=3,
+    )
+    return snap_dir, csv, tmp_path
+
+
+def test_legacy_loader_shapes_and_values(snapshot_setup):
+    snap_dir, csv, tmp_path = snapshot_setup
+    cfg = parse_config(_legacy_raw(snap_dir, csv))
+    td = data_mod.load_training_data(cfg)
+
+    assert td.fidelity_input.shape == (200, 5)
+    assert td.fidelity_true.shape == (200, 4)
+    # 3 snapshots x subsampled grid (ceil(25/2) x ceil(21/2) = 13 x 11)
+    assert td.residual_input.shape == (3 * 13 * 11, 5)
+    assert np.isfinite(td.residual_input).all()
+    assert not td.fidelity_is_residual
+
+    # inputs normalized with the FIDELITY bounds (reference train.py:263):
+    # the random fidelity subsample's range can undershoot the grid extremes,
+    # so field channels may overshoot [-1,1] slightly — but the coordinate
+    # channels (t exactly shared; x/y endpoints nearly sampled) stay tight
+    assert np.abs(td.residual_input[:, :3]).max() <= 1.0 + 0.1
+    assert np.abs(td.residual_input).max() <= 2.0
+    # t channel: one constant value per snapshot block, ascending
+    t_col = td.residual_input[:, 0]
+    blocks = t_col.reshape(3, -1)
+    for b in blocks:
+        assert np.all(b == b[0])
+    assert blocks[0, 0] < blocks[1, 0] < blocks[2, 0]
+
+
+def test_legacy_loader_static_file_and_missing_snapshot(snapshot_setup):
+    snap_dir, csv, tmp_path = snapshot_setup
+    raw = _legacy_raw(snap_dir, csv)
+    # dep.out resolves as a static grid channel
+    raw["data_residual"]["inputs"]["u"] = {"file": "dep.out",
+                                           "requires_grad": ["false"]}
+    td = data_mod.load_training_data(parse_config(raw))
+    u = td.residual_input[:, 3].reshape(3, -1)
+    np.testing.assert_array_equal(u[0], u[1])  # static across snapshots
+
+    raw = _legacy_raw(snap_dir, csv)
+    raw["data_residual"]["inputs"]["u"] = {"file": "nosuch",
+                                           "requires_grad": ["false"]}
+    with pytest.raises(FileNotFoundError, match="nosuch"):
+        data_mod.load_training_data(parse_config(raw))
+
+
+def test_legacy_loader_snapshot_out_of_range(snapshot_setup):
+    snap_dir, csv, tmp_path = snapshot_setup
+    raw = _legacy_raw(snap_dir, csv)
+    raw["data_residual"]["numerical_model_snapshots"] = [200, 999]
+    raw["numerical_model"]["number_of_files"] = 501
+    with pytest.raises(ValueError, match="999"):
+        data_mod.load_training_data(parse_config(raw))
+
+
+def test_legacy_nan_masking(tmp_path):
+    snap_dir, csv = synthetic.make_funwave_snapshot_dir(
+        str(tmp_path / "nan"), nx=NX, ny=NY, snapshots=SNAPS,
+        nan_fraction=0.05, seed=7,
+    )
+    cfg = parse_config(_legacy_raw(snap_dir, csv))
+    td = data_mod.load_training_data(cfg)
+    assert td.residual_input.shape[0] < 3 * 13 * 11  # NaN rows dropped
+    assert np.isfinite(td.residual_input).all()
+
+
+def test_legacy_end_to_end_training(snapshot_setup):
+    """The capability the reference describes but never achieved: a
+    config.json-style run trains navier_stokes end to end."""
+    snap_dir, csv, tmp_path = snapshot_setup
+    cfg_path = tmp_path / "config_legacy.json"
+    cfg_path.write_text(json.dumps(_legacy_raw(snap_dir, csv)))
+    cfg = load_config(str(cfg_path))
+    assert cfg.physics == "navier_stokes"
+
+    run_dir = str(tmp_path / "run"); os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr.train()
+    epochs, fids, ress, totals = read_log(run_dir)
+    assert len(epochs) >= 9  # 8 adam + L-BFGS evals
+    assert all(np.isfinite(v) for v in totals)
+    assert totals[-1] < totals[0]  # optimizing
+    assert os.path.exists(os.path.join(run_dir, "model.msgpack"))
+
+
+def test_reference_legacy_configs_remain_parseable():
+    for name in ("config.json", "config_txyz.json"):
+        cfg = load_config(os.path.join("/root/reference", name))
+        assert cfg.numerical_model is not None
+        assert cfg.data_residual.snapshots == tuple(range(200, 221))
+        assert cfg.data_residual.output_files[0] == "dep.out"
