@@ -113,7 +113,7 @@ def test_lbfgs_phase_tracks_reference(setup):
     cfg, params, trainer, run_dir, coords, trues, raw, tmp_path = setup
     # warm both sides identically with torch-f64 Adam... instead: cold-start
     # L-BFGS from the SAME injected weights on both sides.
-    lbfgs_iters = 12
+    lbfgs_iters = 60
 
     model, _, loss_fn, _ = _torch_reference_training(params, coords, trues, 0)
     opt = torch.optim.LBFGS(
@@ -149,12 +149,22 @@ def test_lbfgs_phase_tracks_reference(setup):
 
     # initial evaluation must agree tightly
     np.testing.assert_allclose(jax_evals[0], torch_evals[0], rtol=1e-4)
-    # early line-search trajectory identical (same decisions)
-    k = min(5, len(jax_evals), len(torch_evals))
-    np.testing.assert_allclose(jax_evals[:k], torch_evals[:k], rtol=5e-3)
-    # both optimizers converge to comparable loss levels
+    # per-eval trajectory tracking: measure the longest prefix where every
+    # evaluation agrees to 5e-3 relative (line-search decisions identical).
+    # Measured on this setup: 33 consecutive evals before f32 roundoff
+    # amplification forks the search; require a robust floor of 20.
+    n = min(len(jax_evals), len(torch_evals))
+    rel = np.abs(np.asarray(jax_evals[:n]) - np.asarray(torch_evals[:n])) / np.maximum(
+        np.abs(np.asarray(torch_evals[:n])), 1e-12
+    )
+    tracked = 0
+    while tracked < n and rel[tracked] <= 5e-3:
+        tracked += 1
+    assert tracked >= 20, f"trajectory forked after {tracked} evals (rel head {rel[:8]})"
+    # both optimizers reach the same basin: terminal minima within 0.1 in
+    # log10 (measured gap on this setup: ~0.002)
     assert min(jax_evals) < torch_evals[0] * 0.5
-    assert abs(np.log10(min(jax_evals)) - np.log10(min(torch_evals))) < 0.7
+    assert abs(np.log10(min(jax_evals)) - np.log10(min(torch_evals))) < 0.1
 
 
 def test_snapshot_schema_matches_reference_artifact(setup):
