@@ -58,7 +58,10 @@ from pinn_depthestimation_tpu.models.mlp import MLPSpec
 from pinn_depthestimation_tpu.ops.kernels import _DOT_PRECISION, LANES, packed_mlp_fwd_tangents
 
 BWD_ROWS = 256        # points-rows per tile (tuned: +10% over 128 on v5e)
-CKPT_EVERY = 14       # checkpoint cadence over the hidden stack (tuned)
+CKPT_EVERY = 8        # checkpoint cadence (round-2 sweep: 54.2 ms vs 59.2 at
+                      # 14, 100k pts x 101 layers; seg-unroll OOMs at 256 rows
+                      # and wins nothing at 128 — kept off)
+SEG_UNROLL_DEFAULT = False
 
 
 def aligned_stride(spec: MLPSpec) -> int:
@@ -155,12 +158,20 @@ def _roll_sum(vec_2d, g: int, s: int):
 
 
 def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: int,
-                     dot_precision, tm: int):
-    """Build the backward kernel body (shapes static via closure)."""
+                     dot_precision, tm: int, ckpt_every: int, seg_unroll: bool):
+    """Build the backward kernel body (shapes static via closure).
+
+    ``seg_unroll``: statically unroll the per-segment loops (<= ``ckpt_every``
+    iterations) so layer indices are constants and Mosaic can schedule across
+    layer boundaries. The long replay loop always stays rolled — fully
+    unrolling it blew the 16 MB scoped-VMEM budget (measured 24.9 MB).
+    """
     kt = n_tangents
     init_type = spec.init_type
+    CKPT_EVERY = ckpt_every
     n_seg = -(-n_stack // CKPT_EVERY) if n_stack else 0
     f32 = jnp.float32
+    unroll = seg_unroll
 
     def act(z):
         return jnp.tanh(z) if init_type == "xavier" else jnp.where(z >= 0, z, 0.01 * z)
@@ -287,25 +298,40 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
             # rebuild the segment's states from the checkpoint
             seg_ref[0] = ckpt_ref[seg]
 
-            def rebuild(i, carry):
-                carry = layer_forward(carry, j0 + i)
-                seg_ref[i + 1] = carry
-                return carry
+            if unroll:
+                carry = seg_ref[0]
+                for i in range(seg_len):
+                    carry = layer_forward(carry, j0 + i)
+                    seg_ref[i + 1] = carry
+                # walk the segment in reverse (static indices throughout)
+                for i in range(seg_len):
+                    idx = seg_len - 1 - i
+                    j = j0 + idx
+                    sbar, dw, db = backward_through(
+                        seg_ref[idx], seg_ref[idx + 1], sbar, j
+                    )
+                    dw_h_ref[j] += dw
+                    db_h_ref[j : j + 1, :] += db
+            else:
+                def rebuild(i, carry):
+                    carry = layer_forward(carry, j0 + i)
+                    seg_ref[i + 1] = carry
+                    return carry
 
-            jax.lax.fori_loop(0, seg_len, rebuild, seg_ref[0])
+                jax.lax.fori_loop(0, seg_len, rebuild, seg_ref[0])
 
-            # walk the segment in reverse
-            def seg_back(i, sbar):
-                idx = seg_len - 1 - i            # position within segment
-                j = j0 + idx                     # w_h layer index
-                sbar_prev, dw, db = backward_through(
-                    seg_ref[idx], seg_ref[idx + 1], sbar, j
-                )
-                dw_h_ref[j] += dw
-                db_h_ref[pl.ds(j, 1), :] += db
-                return sbar_prev
+                # walk the segment in reverse
+                def seg_back(i, sbar):
+                    idx = seg_len - 1 - i            # position within segment
+                    j = j0 + idx                     # w_h layer index
+                    sbar_prev, dw, db = backward_through(
+                        seg_ref[idx], seg_ref[idx + 1], sbar, j
+                    )
+                    dw_h_ref[j] += dw
+                    db_h_ref[pl.ds(j, 1), :] += db
+                    return sbar_prev
 
-            sbar = jax.lax.fori_loop(0, seg_len, seg_back, sbar)
+                sbar = jax.lax.fori_loop(0, seg_len, seg_back, sbar)
 
         # ---- input layer backward
         c0 = ckpt_ref[0]
@@ -332,7 +358,11 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "n_tangents", "precision", "interpret")
+    jax.jit,
+    static_argnames=(
+        "spec", "n_tangents", "precision", "interpret",
+        "rows_per_tile", "ckpt_every", "seg_unroll",
+    ),
 )
 def packed_mlp_bwd(
     params: dict,
@@ -343,15 +373,24 @@ def packed_mlp_bwd(
     n_tangents: int,
     precision: str = "f32",
     interpret: bool = False,
+    rows_per_tile: int = 0,
+    ckpt_every: int = 0,
+    seg_unroll: int = -1,
 ) -> dict:
     """Parameter gradients of ``(y, dy) = mlp_apply_with_tangents(...)`` given
-    output cotangents ``ybar (N, d_out)`` and ``dybar (K, N, d_out)``."""
+    output cotangents ``ybar (N, d_out)`` and ``dybar (K, N, d_out)``.
+
+    ``rows_per_tile``/``ckpt_every`` default (0) to the module-tuned
+    BWD_ROWS/CKPT_EVERY; ``seg_unroll`` -1 resolves to the tuned default,
+    0/1 force the per-segment loops rolled/unrolled."""
     if spec.dropout_rate:
         raise ValueError("fused VJP kernel does not support dropout")
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     packed = pack_params_strided(params, spec, dtype=dtype)
     s, g = packed["s"], packed["g"]
-    tm = BWD_ROWS
+    tm = rows_per_tile or BWD_ROWS
+    ckpt = ckpt_every or CKPT_EVERY
+    unroll = SEG_UNROLL_DEFAULT if seg_unroll < 0 else bool(seg_unroll)
     w = spec.width
 
     x_packed, _ = pack_values_strided(coords.astype(jnp.float32), spec.d_in, g, s, tm)
@@ -363,11 +402,12 @@ def packed_mlp_bwd(
     m = x_packed.shape[0]
     n_stack = int(packed["w_h"].shape[0])
     ns = max(n_stack, 1)
-    n_ckpt = (-(-n_stack // CKPT_EVERY) if n_stack else 0) + 1
+    n_ckpt = (-(-n_stack // ckpt) if n_stack else 0) + 1
     state_rows = (1 + n_tangents) * tm
 
     kernel = _make_bwd_kernel(
-        spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm
+        spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm,
+        ckpt, unroll,
     )
 
     grid = (m // tm,)
@@ -407,7 +447,7 @@ def packed_mlp_bwd(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_ckpt, state_rows, LANES), jnp.float32),               # ckpt
-            pltpu.VMEM((min(CKPT_EVERY, ns) + 1, state_rows, LANES), jnp.float32),  # seg
+            pltpu.VMEM((min(ckpt, ns) + 1, state_rows, LANES), jnp.float32),  # seg
         ],
         interpret=interpret,
     )(

@@ -306,3 +306,67 @@ def test_fused_shard_map_shared_forward_matches(tmp_path):
     assert float(f2) == pytest.approx(float(f1), rel=1e-5)
     assert float(r2) == pytest.approx(float(r1), rel=1e-5)
     _assert_grads_close(g1, g2, 2e-4)
+
+
+def test_fused_shard_map_cmb_unequal_sizes(tmp_path):
+    """CMB-shaped sharded fused loss: fidelity and residual point sets have
+    DIFFERENT sizes (separate padding/masks per array inside the single
+    shard_map call); numerics must equal the single-device loss."""
+    from pinn_depthestimation_tpu import data as data_mod, parallel
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import build_loss_fn
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    csv = str(tmp_path / "fid.csv")
+    mat = str(tmp_path / "res.mat")
+    synthetic.make_cmb_dataset(csv, mat, nx=15, ny=13, n_csv=77, seed=6,
+                               nan_fraction=0.03)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 20,
+                   "output_features": 6, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1,
+                 "weight_h_loss": 2, "weight_U_loss": 1, "weight_V_loss": 1,
+                 "weight_eta_mean_loss": 1, "weight_Hrms_loss": 1, "weight_k_loss": 1},
+        "data_fidelity": {"file": csv,
+                          "inputs": ["x", "y"],
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "training_points": 60},
+        "data_residual": {"file": mat,
+                          "inputs": {"x": {"requires_grad": ["true"]},
+                                     "y": {"requires_grad": ["true"]}},
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "interval_x": 1, "interval_y": 1},
+        "physics": "wave_averaged",
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(1), spec)
+    td = data_mod.load_training_data(cfg)
+    assert td.fidelity_input.shape[0] != td.residual_input.shape[0]
+    assert not td.fidelity_is_residual
+
+    batch_plain = {"fidelity_input": jnp.asarray(td.fidelity_input),
+                   "fidelity_true": jnp.asarray(td.fidelity_true),
+                   "residual_input": jnp.asarray(td.residual_input)}
+    loss_single = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    (t1, (f1, r1)), g1 = jax.value_and_grad(loss_single, has_aux=True)(
+        params, batch_plain)
+
+    mesh = __import__("pinn_depthestimation_tpu").parallel.make_mesh(8)
+    batch_sh = parallel.shard_batch(
+        {"fidelity_input": td.fidelity_input,
+         "fidelity_true": td.fidelity_true,
+         "residual_input": td.residual_input}, mesh)
+    params_repl = parallel.replicate(params, mesh)
+    loss_mesh = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True,
+                              mesh=mesh)
+    (t2, (f2, r2)), g2 = jax.jit(jax.value_and_grad(loss_mesh, has_aux=True))(
+        params_repl, batch_sh)
+    assert float(t2) == pytest.approx(float(t1), rel=1e-5)
+    assert float(f2) == pytest.approx(float(f1), rel=1e-5)
+    assert float(r2) == pytest.approx(float(r1), rel=1e-5)
+    _assert_grads_close(g1, g2, 2e-4)
