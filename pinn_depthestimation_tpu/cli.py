@@ -156,7 +156,16 @@ def cmd_synth(args) -> int:
     csv = os.path.join(args.out, "input_fid.csv")
     res = os.path.join(args.out, "input_res.mat")
     synthetic.make_cmb_dataset(csv, res, nx=args.nx, ny=args.ny, seed=args.seed)
-    print(f"Wrote {mat}, {csv}, {res}")
+    wrote = f"{mat}, {csv}, {res}"
+    if args.legacy:
+        snap_dir, fid_csv = synthetic.make_funwave_snapshot_dir(
+            os.path.join(args.out, "beach2d"),
+            nx=args.nx, ny=args.ny,
+            snapshots=tuple(range(200, 200 + args.snapshots)),
+            seed=args.seed,
+        )
+        wrote += f", {snap_dir}/ (FUNWAVE snapshots), {fid_csv}"
+    print(f"Wrote {wrote}")
     return 0
 
 
@@ -219,6 +228,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--nx", type=int, default=81)
     s.add_argument("--ny", type=int, default=261)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--legacy", action="store_true",
+                   help="also write a FUNWAVE snapshot dir + fidelity CSV "
+                        "for the legacy numerical_model pipeline (config.json schema)")
+    s.add_argument("--snapshots", type=int, default=21,
+                   help="snapshot count for --legacy (reference uses 21: 200-220)")
     s.set_defaults(fn=cmd_synth)
 
     pl = sub.add_parser("plot-log", help="loss curves from a run dir's log.txt")

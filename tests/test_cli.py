@@ -155,3 +155,13 @@ def test_test_plot_without_grid_errors_cleanly(config_file, tmp_path, capsys):
                "--plot", str(base / "plots2")])
     assert rc == 1
     assert "Error making plots" in capsys.readouterr().out
+
+
+def test_synth_legacy_flag(tmp_path, capsys):
+    rc = main(["synth", "--out", str(tmp_path / "d"), "--legacy",
+               "--nx", "12", "--ny", "10", "--snapshots", "3"])
+    assert rc == 0
+    snap = tmp_path / "d" / "beach2d"
+    assert (snap / "dep.out").exists()
+    assert (snap / "eta_00200").exists() and (snap / "u_00202").exists()
+    assert (snap / "fidelity.csv").exists()
