@@ -121,3 +121,20 @@ def test_extensions(tmp_path):
     assert cfg.physics == "continuity_ftemp"
     assert cfg.parallel.data == 4
     assert cfg.seed == 7
+
+
+def test_example_configs_parse():
+    """Every shipped example config parses (catches schema drift)."""
+    import glob
+    import os
+
+    from pinn_depthestimation_tpu.config import load_config
+
+    examples = sorted(glob.glob("/root/repo/examples/*.json"))
+    assert len(examples) >= 4
+    for path in examples:
+        cfg = load_config(path)
+        assert cfg.physics  # resolved
+        if os.path.basename(path) == "legacy.json":
+            assert cfg.numerical_model is not None
+            assert cfg.data_residual.snapshots
