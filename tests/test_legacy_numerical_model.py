@@ -157,3 +157,34 @@ def test_reference_legacy_configs_remain_parseable():
         assert cfg.numerical_model is not None
         assert cfg.data_residual.snapshots == tuple(range(200, 221))
         assert cfg.data_residual.output_files[0] == "dep.out"
+
+
+def test_legacy_fused_kernel_matches_xla(snapshot_setup):
+    """navier_stokes over (t,x,y) tangents + u/v as extra non-grad inputs
+    routes through the fused kernels (n_tangents=3, d_in=5) and matches the
+    XLA loss path, values and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+    from pinn_depthestimation_tpu.training import build_loss_fn
+
+    snap_dir, csv, tmp_path = snapshot_setup
+    cfg = parse_config(_legacy_raw(snap_dir, csv))
+    td = data_mod.load_training_data(cfg)
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(2), spec)
+    batch = {"fidelity_input": jnp.asarray(td.fidelity_input),
+             "fidelity_true": jnp.asarray(td.fidelity_true),
+             "residual_input": jnp.asarray(td.residual_input)}
+
+    loss_xla = build_loss_fn(cfg, spec)
+    loss_fused = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    (t1, (f1, r1)), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params, batch)
+    (t2, (f2, r2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
+    assert float(t2) == pytest.approx(float(t1), rel=2e-4)
+    assert float(r2) == pytest.approx(float(r1), rel=2e-3)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g2[k]), np.asarray(g1[k]), rtol=2e-3, atol=2e-6
+        )
