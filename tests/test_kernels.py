@@ -145,3 +145,22 @@ def test_zero_tangents_forward_only():
 
     y_ref = mlp_apply(params, coords, spec)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_deep_stack_fori_fallback_matches_reference():
+    """Stacks deeper than UNROLL_MAX_LAYERS take the rolled fori_loop branch;
+    its numerics must match the unrolled branch's oracle."""
+    layers = kernels.UNROLL_MAX_LAYERS + 3  # force the fallback
+    spec = MLPSpec(sizes=(2,) + (8,) * layers + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(4), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(3).uniform(-1, 1, (65, 2)), jnp.float32
+    )
+    y, dy = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, interpret=True
+    )
+    y_ref, dy_ref = mlp_apply_with_tangents(
+        params, coords, _coord_tangents(coords, 2), spec
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=2e-4, atol=2e-5)
