@@ -103,8 +103,11 @@ def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
     headline = run_residual_bench(n_points=n_points, reps=reps)
     extras = {}
     if "pallas" in headline["metric"]:
-        # bf16 at full size; XLA tier at a reduced point count (it is ~3x
-        # slower and only needs a regression-tracking number)
+        # f32x3/bf16 at full size; XLA tier at a reduced point count (it is
+        # ~3x slower and only needs a regression-tracking number)
+        extras["f32x3"] = run_residual_bench(
+            n_points=n_points, backend="pallas", precision="f32x3", reps=reps
+        )["value"]
         extras["bf16"] = run_residual_bench(
             n_points=n_points, backend="pallas", precision="bf16", reps=reps
         )["value"]

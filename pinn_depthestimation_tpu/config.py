@@ -240,7 +240,7 @@ class Config:
     dtype: str = "float32"
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
     fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
-    kernel_precision: str = "f32"  # 'f32' (HIGHEST) | 'bf16' (throughput tier)
+    kernel_precision: str = "f32"  # 'f32' (HIGHEST) | 'f32x3' (split-f32) | 'bf16'
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``
@@ -362,8 +362,10 @@ def _file_stems(d: Any, names: tuple[str, ...]) -> tuple[str, ...]:
 
 def _as_kernel_precision(value: Any) -> str:
     v = str(value).lower()
-    if v not in ("f32", "bf16"):
-        raise ConfigError(f"kernel_precision must be 'f32' or 'bf16', got {value!r}")
+    if v not in ("f32", "f32x3", "bf16"):
+        raise ConfigError(
+            f"kernel_precision must be 'f32', 'f32x3' or 'bf16', got {value!r}"
+        )
     return v
 
 

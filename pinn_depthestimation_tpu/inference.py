@@ -83,8 +83,12 @@ class Predictor:
                 and max(self.spec.width, self.spec.d_in, self.spec.d_out) <= 128
             )
         if use_fused_kernel:
+            kprec = config.kernel_precision
+
             def fused(p, x):
-                y, _ = kernels.packed_mlp_fwd_tangents(p, x, self.spec, 0)
+                y, _ = kernels.packed_mlp_fwd_tangents(
+                    p, x, self.spec, 0, precision=kprec
+                )
                 return y
 
             self._predict = fused  # already jitted internally

@@ -31,14 +31,20 @@ backend produced the derivatives.
 
 Precision tiers (``precision=``):
 
-* ``'f32'``  — f32 storage, ``Precision.HIGHEST`` dots (true f32 via
-  multi-pass bf16 on the MXU). Matches the XLA reference path to f32
-  roundoff. (``Precision.HIGH``/TF32 is not lowerable by Mosaic on this
-  stack, so there is no intermediate tier.)
-* ``'bf16'`` — bf16 storage and single-pass MXU with f32 accumulation:
-  serving/throughput mode — the TPU analog of the TF32 matmuls a torch/A100
-  run of the reference would silently use. Biases and accumulators stay f32
-  in every tier.
+* ``'f32'``   — f32 storage, ``Precision.HIGHEST`` dots (true f32 via
+  six-pass bf16 on the MXU). Matches the XLA reference path to f32
+  roundoff.
+* ``'f32x3'`` — split-f32: every f32 operand is decomposed into bf16
+  ``hi + lo`` parts and each dot runs as THREE single-pass bf16 matmuls
+  (``hi·hi + lo·hi + hi·lo``, f32 accumulation) — the ``Precision.HIGH``
+  tier Mosaic cannot lower natively. Half the MXU passes of HIGHEST at
+  ~2^-17 relative operand precision (orders of magnitude tighter than the
+  TF32 a torch/A100 run of the reference silently uses). Weights are
+  hi/lo-split once at pack time; activations are split on the VPU per
+  matmul.
+* ``'bf16'``  — bf16 storage and single-pass MXU with f32 accumulation:
+  maximum-throughput serving mode. Biases and accumulators stay f32 in
+  every tier.
 """
 
 from __future__ import annotations
@@ -88,37 +94,64 @@ def _tile_bias(b: jax.Array, g: int, dtype) -> jax.Array:
 
 _DOT_PRECISION = {
     "f32": jax.lax.Precision.HIGHEST,
+    "f32x3": jax.lax.Precision.DEFAULT,  # 3 manual bf16 passes (see _split_f32)
     "bf16": jax.lax.Precision.DEFAULT,
 }
 
 
-def pack_params(params: dict, spec: MLPSpec, *, dtype=jnp.float32) -> dict:
-    """Precompute packed block-diagonal weights (jit-safe, runs via XLA)."""
+def _split_f32(a: jax.Array):
+    """Decompose f32 into bf16 ``(hi, lo)`` with ``hi + lo`` carrying ~16
+    mantissa bits of ``a`` (the split-f32 / bf16x3 emulation of
+    ``Precision.HIGH``)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_passes(w: jax.Array) -> jax.Array:
+    """f32 ``(..., LANES, LANES)`` -> bf16 ``(..., 2, LANES, LANES)`` hi/lo."""
+    hi, lo = _split_f32(w)
+    return jnp.stack([hi, lo], axis=-3)
+
+
+def pack_params(params: dict, spec: MLPSpec, *, dtype=jnp.float32, passes: int = 1) -> dict:
+    """Precompute packed block-diagonal weights (jit-safe, runs via XLA).
+
+    ``passes=2`` (the f32x3 tier) stores each weight as a leading-axis pair of
+    bf16 hi/lo splits — same bytes as one f32 copy."""
     g = packing_factor(spec)
     if spec.n_hidden < 1:
         raise ValueError("packed kernel needs at least one hidden layer")
 
     f32 = jnp.float32
-    w_in = _block_diag(params["w_in"], g, dtype)      # (128, 128); rows g*d_in+c
+    w_in = _block_diag(params["w_in"], g, f32)        # (128, 128); rows g*d_in+c
     b_in = _tile_bias(params["b_in"], g, f32)
     n_stack = params["w_hidden"].shape[0]
     if n_stack > 0:
-        w_h = jax.vmap(lambda w: _block_diag(w, g, dtype))(params["w_hidden"])
+        w_h = jax.vmap(lambda w: _block_diag(w, g, f32))(params["w_hidden"])
         # biases stay f32: added post-matmul in f32, and bf16 (m, 128) memrefs
         # reject dynamic row loads under Mosaic's 16-row alignment rule
         b_h = jax.vmap(lambda b: _tile_bias(b, g, f32))(params["b_hidden"])
     else:
-        w_h = jnp.zeros((0, LANES, LANES), dtype)
+        w_h = jnp.zeros((0, LANES, LANES), f32)
         b_h = jnp.zeros((0, LANES), f32)
-    w_out = _block_diag(params["w_out"], g, dtype)
+    w_out = _block_diag(params["w_out"], g, f32)
     b_out = _tile_bias(params["b_out"], g, f32)
 
+    if passes == 2:
+        w_in, w_h, w_out = _split_passes(w_in), _split_passes(w_h), _split_passes(w_out)
+    elif dtype != f32:
+        w_in, w_h, w_out = (a.astype(dtype) for a in (w_in, w_h, w_out))
+
     # Tangent seed rows: pushing the coordinate-c unit tangent of every packed
-    # point through w_in gives a row-constant vector: sum_g w_in_packed[g*d_in+c].
+    # point through w_in gives a row-constant vector: sum_g w_in_packed[g*d_in+c]
+    # — derived from the same (possibly reduced-precision) weights the forward
+    # matmuls use, so tangents stay consistent with the tier's forward function.
     d_in = spec.d_in
     rows = jnp.arange(g) * d_in
+    w_in_eff = w_in.astype(f32).sum(axis=0) if passes == 2 else w_in  # hi+lo
     t_rows = jnp.stack(
-        [jnp.sum(w_in[rows + c].astype(f32), axis=0) for c in range(d_in)]
+        [jnp.sum(w_in_eff[rows + c].astype(f32), axis=0) for c in range(d_in)]
     )
 
     return {
@@ -170,6 +203,7 @@ def _mlp_kernel(
     n_tangents: int,
     init_type: str,
     dot_precision,
+    three_pass: bool = False,
 ):
     """Fused packed forward + tangent propagation for one (TM, 128) tile.
 
@@ -193,13 +227,23 @@ def _mlp_kernel(
             return 1.0 - a * a
         return jnp.where(z >= 0, 1.0, 0.01)
 
-    def matmul(a, w):
-        # cast the activation stream to the weight dtype (bf16 mode) with f32
-        # accumulation; a no-op in f32 modes
+    def dot(a, w):
         return jax.lax.dot_general(
-            a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+            a, w, (((1,), (0,)), ((), ())),
             precision=dot_precision, preferred_element_type=f32,
         )
+
+    if three_pass:
+        # split-f32: w is a (2, 128, 128) bf16 hi/lo pair; the activation is
+        # split on the VPU. Small cross terms are summed first.
+        def matmul(a, w):
+            a_hi, a_lo = _split_f32(a)
+            return (dot(a_lo, w[0]) + dot(a_hi, w[1])) + dot(a_hi, w[0])
+    else:
+        # cast the activation stream to the weight dtype (bf16 mode) with f32
+        # accumulation; a no-op in f32 mode
+        def matmul(a, w):
+            return dot(a.astype(w.dtype), w)
 
     x = x_ref[:]
     tm = x.shape[0]
@@ -251,8 +295,10 @@ def packed_mlp_fwd_tangents_raw(
     skip the lane->row unpack relayout (~10% of the bench at 10M points)."""
     if precision not in _DOT_PRECISION:
         raise ValueError(f"precision must be one of {sorted(_DOT_PRECISION)}")
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    packed = pack_params(params, spec, dtype=dtype)
+    three_pass = precision == "f32x3"
+    dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
+    passes = 2 if three_pass else 1
+    packed = pack_params(params, spec, dtype=dtype, passes=passes)
     g = packed["g"]
     x_packed, n = pack_coords(coords.astype(jnp.float32), spec, g, rows_per_tile)
     m = x_packed.shape[0]
@@ -264,6 +310,7 @@ def packed_mlp_fwd_tangents_raw(
         n_tangents=n_tangents,
         init_type=spec.init_type,
         dot_precision=_DOT_PRECISION[precision],
+        three_pass=three_pass,
     )
 
     grid = (m // rows_per_tile,)
@@ -271,6 +318,7 @@ def packed_mlp_fwd_tangents_raw(
         (rows_per_tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)  # noqa: E731
+    wshape = (2, LANES, LANES) if three_pass else (LANES, LANES)
 
     out_shape = [jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * (1 + n_tangents)
     flops_per_tile = 2 * rows_per_tile * LANES * LANES * (n_stack + 2) * (1 + n_tangents)
@@ -280,11 +328,11 @@ def packed_mlp_fwd_tangents_raw(
         grid=grid,
         in_specs=[
             row_spec,                                  # x
-            full(LANES, LANES),                        # w_in
+            full(*wshape),                             # w_in
             full(1, LANES),                            # b_in
-            full(max(n_stack, 1), LANES, LANES),       # w_h
+            full(max(n_stack, 1), *wshape),            # w_h
             full(max(n_stack, 1), LANES),              # b_h
-            full(LANES, LANES),                        # w_out
+            full(*wshape),                             # w_out
             full(1, LANES),                            # b_out
             full(spec.d_in, LANES),                    # t_rows
         ],
@@ -300,7 +348,7 @@ def packed_mlp_fwd_tangents_raw(
         x_packed,
         packed["w_in"],
         packed["b_in"],
-        packed["w_h"] if n_stack else jnp.zeros((1, LANES, LANES), dtype),
+        packed["w_h"] if n_stack else jnp.zeros((1,) + wshape, dtype),
         packed["b_h"] if n_stack else jnp.zeros((1, LANES), jnp.float32),
         packed["w_out"],
         packed["b_out"],

@@ -39,6 +39,12 @@ The input layer additionally backpropagates the tangent *seeds* (rows of the
 packed ``w_in``): their cotangent is a column-sum scattered into coordinate
 rows of the compact ``w_in`` gradient.
 
+Precision tiers mirror ``ops.kernels``: ``'f32'`` (HIGHEST, six-pass),
+``'f32x3'`` (split-f32 — packed weights pre-split into bf16 hi/lo pairs,
+runtime operands split on the VPU, every contraction = 3 single-pass bf16
+matmuls with f32 accumulation; gradients track ``jax.grad`` to ~5e-6 rel),
+and ``'bf16'`` (single-pass throughput tier).
+
 Restrictions (asserted): >= 1 hidden layer, no dropout, coordinate-basis
 tangents in input order (all the physics bridge ever uses), and the VJP w.r.t.
 ``coords`` is **not computed** (returned as zeros) — training losses never
@@ -55,7 +61,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pinn_depthestimation_tpu.models.mlp import MLPSpec
-from pinn_depthestimation_tpu.ops.kernels import _DOT_PRECISION, LANES, packed_mlp_fwd_tangents
+from pinn_depthestimation_tpu.ops.kernels import (
+    _DOT_PRECISION,
+    _split_f32,
+    _split_passes,
+    LANES,
+    packed_mlp_fwd_tangents,
+)
 
 BWD_ROWS = 256        # points-rows per tile (tuned: +10% over 128 on v5e)
 CKPT_EVERY = 8        # checkpoint cadence (round-2 sweep: 54.2 ms vs 59.2 at
@@ -93,25 +105,31 @@ def _tile_bias_strided(b, g: int, s: int) -> jnp.ndarray:
     return out.at[: g * s].set(jnp.tile(pad, g))
 
 
-def pack_params_strided(params: dict, spec: MLPSpec, dtype=jnp.float32) -> dict:
+def pack_params_strided(params: dict, spec: MLPSpec, dtype=jnp.float32, passes: int = 1) -> dict:
     s = aligned_stride(spec)
     g = packing_factor_aligned(spec)
     if spec.n_hidden < 1:
         raise ValueError("fused VJP kernel needs at least one hidden layer")
-    w_in = _block_diag_strided(params["w_in"], g, s, dtype)
+    f32 = jnp.float32
+    w_in = _block_diag_strided(params["w_in"], g, s, f32)
     b_in = _tile_bias_strided(params["b_in"], g, s)
     n_stack = params["w_hidden"].shape[0]
     if n_stack > 0:
-        w_h = jax.vmap(lambda w: _block_diag_strided(w, g, s, dtype))(params["w_hidden"])
+        w_h = jax.vmap(lambda w: _block_diag_strided(w, g, s, f32))(params["w_hidden"])
         b_h = jax.vmap(lambda b: _tile_bias_strided(b, g, s))(params["b_hidden"])
     else:
-        w_h = jnp.zeros((0, LANES, LANES), dtype)
-        b_h = jnp.zeros((0, LANES), jnp.float32)
-    w_out = _block_diag_strided(params["w_out"], g, s, dtype)
+        w_h = jnp.zeros((0, LANES, LANES), f32)
+        b_h = jnp.zeros((0, LANES), f32)
+    w_out = _block_diag_strided(params["w_out"], g, s, f32)
     b_out = _tile_bias_strided(params["b_out"], g, s)
+    if passes == 2:
+        w_in, w_h, w_out = _split_passes(w_in), _split_passes(w_h), _split_passes(w_out)
+    elif dtype != f32:
+        w_in, w_h, w_out = (a.astype(dtype) for a in (w_in, w_h, w_out))
     rows = jnp.arange(g) * s
+    w_in_eff = w_in.astype(f32).sum(axis=0) if passes == 2 else w_in
     t_rows = jnp.stack(
-        [jnp.sum(w_in[rows + c].astype(jnp.float32), axis=0) for c in range(spec.d_in)]
+        [jnp.sum(w_in_eff[rows + c].astype(f32), axis=0) for c in range(spec.d_in)]
     )
     return {
         "s": s, "g": g,
@@ -158,7 +176,8 @@ def _roll_sum(vec_2d, g: int, s: int):
 
 
 def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: int,
-                     dot_precision, tm: int, ckpt_every: int, seg_unroll: bool):
+                     dot_precision, tm: int, ckpt_every: int, seg_unroll: bool,
+                     three_pass: bool = False):
     """Build the backward kernel body (shapes static via closure).
 
     ``seg_unroll``: statically unroll the per-segment loops (<= ``ckpt_every``
@@ -187,25 +206,43 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
             return -2.0 * a * dbar
         return jnp.zeros_like(a)  # D piecewise-constant
 
-    def mm(a, w):
+    def _dot(a, b, dims):
         return jax.lax.dot_general(
-            a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+            a, b, (dims, ((), ())),
             precision=dot_precision, preferred_element_type=f32,
         )
 
-    def mm_t(a, w):
-        """a @ w^T via dot_general contracting on w's last dim."""
-        return jax.lax.dot_general(
-            a.astype(w.dtype), w, (((1,), (1,)), ((), ())),
-            precision=dot_precision, preferred_element_type=f32,
-        )
+    if three_pass:
+        # split-f32 tier: packed weights carry a leading bf16 hi/lo pass axis;
+        # runtime operands (activations/cotangents) are split on the VPU.
+        def mm(a, w):
+            a_hi, a_lo = _split_f32(a)
+            d = lambda x, wp: _dot(x, wp, ((1,), (0,)))  # noqa: E731
+            return (d(a_lo, w[0]) + d(a_hi, w[1])) + d(a_hi, w[0])
 
-    def mm_tn(a, b):
-        """a^T @ b: contract first dims."""
-        return jax.lax.dot_general(
-            a.astype(b.dtype), b, (((0,), (0,)), ((), ())),
-            precision=dot_precision, preferred_element_type=f32,
-        )
+        def mm_t(a, w):
+            """a @ w^T via dot_general contracting on w's last dim."""
+            a_hi, a_lo = _split_f32(a)
+            d = lambda x, wp: _dot(x, wp, ((1,), (1,)))  # noqa: E731
+            return (d(a_lo, w[0]) + d(a_hi, w[1])) + d(a_hi, w[0])
+
+        def mm_tn(a, b):
+            """a^T @ b: contract first dims. Both operands are runtime f32."""
+            a_hi, a_lo = _split_f32(a)
+            b_hi, b_lo = _split_f32(b)
+            d = lambda x, y: _dot(x, y, ((0,), (0,)))  # noqa: E731
+            return (d(a_lo, b_hi) + d(a_hi, b_lo)) + d(a_hi, b_hi)
+    else:
+        def mm(a, w):
+            return _dot(a.astype(w.dtype), w, ((1,), (0,)))
+
+        def mm_t(a, w):
+            """a @ w^T via dot_general contracting on w's last dim."""
+            return _dot(a.astype(w.dtype), w, ((1,), (1,)))
+
+        def mm_tn(a, b):
+            """a^T @ b: contract first dims."""
+            return _dot(a.astype(b.dtype), b, ((0,), (0,)))
 
     def split(stacked):
         return stacked[:tm], [stacked[(1 + k) * tm : (2 + k) * tm] for k in range(kt)]
@@ -385,8 +422,10 @@ def packed_mlp_bwd(
     0/1 force the per-segment loops rolled/unrolled."""
     if spec.dropout_rate:
         raise ValueError("fused VJP kernel does not support dropout")
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    packed = pack_params_strided(params, spec, dtype=dtype)
+    three_pass = precision == "f32x3"
+    dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
+    passes = 2 if three_pass else 1
+    packed = pack_params_strided(params, spec, dtype=dtype, passes=passes)
     s, g = packed["s"], packed["g"]
     tm = rows_per_tile or BWD_ROWS
     ckpt = ckpt_every or CKPT_EVERY
@@ -407,7 +446,7 @@ def packed_mlp_bwd(
 
     kernel = _make_bwd_kernel(
         spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm,
-        ckpt, unroll,
+        ckpt, unroll, three_pass,
     )
 
     grid = (m // tm,)
@@ -415,6 +454,7 @@ def packed_mlp_bwd(
     full = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    wshape = (2, LANES, LANES) if three_pass else (LANES, LANES)
 
     out_shape = [
         jax.ShapeDtypeStruct((s, LANES), jnp.float32),        # dw_in compact
@@ -434,11 +474,11 @@ def packed_mlp_bwd(
         grid=grid,
         in_specs=[
             row_spec,                        # x
-            full(LANES, LANES),              # w_in
+            full(*wshape),                   # w_in
             full(1, LANES),                  # b_in
-            full(ns, LANES, LANES),          # w_h
+            full(ns, *wshape),               # w_h
             full(ns, LANES),                 # b_h
-            full(LANES, LANES),              # w_out
+            full(*wshape),                   # w_out
             full(max(spec.d_in, 1), LANES),  # t_rows
             row_spec,                        # ybar
             *([row_spec] * n_tangents),      # tangent cotangents
@@ -453,7 +493,7 @@ def packed_mlp_bwd(
     )(
         x_packed,
         packed["w_in"], packed["b_in"],
-        packed["w_h"] if n_stack else jnp.zeros((1, LANES, LANES), dtype),
+        packed["w_h"] if n_stack else jnp.zeros((1,) + wshape, dtype),
         packed["b_h"] if n_stack else jnp.zeros((1, LANES), jnp.float32),
         packed["w_out"],
         packed["t_rows"],

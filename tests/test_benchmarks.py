@@ -52,7 +52,7 @@ def test_bench_suite_contract(monkeypatch):
     monkeypatch.setattr(benchmarks, "run_residual_bench", fake_bench)
     result = benchmarks.run_bench_suite(n_points=1000, reps=3)
     assert set(result) == {"metric", "value", "unit", "vs_baseline", "extras"}
-    assert set(result["extras"]) == {"bf16", "xla"}
+    assert set(result["extras"]) == {"f32x3", "bf16", "xla"}
     json.dumps(result)
     # headline stays the honest f32 tier
     assert "pallas-f32" in result["metric"]

@@ -121,6 +121,37 @@ def test_bf16_mode_is_close_but_coarser():
     assert err > 1e-6         # ...at visibly lower precision
 
 
+def test_f32x3_mode_between_f32_and_bf16():
+    """Split-f32 (3 bf16 MXU passes) must land orders of magnitude tighter
+    than bf16 while remaining a distinct (cheaper) function from f32."""
+    spec = MLPSpec(sizes=(2,) + (20,) * 7 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(5), spec)
+    coords = jnp.asarray(np.random.RandomState(4).uniform(-1, 1, (130, 2)), jnp.float32)
+    tang = _coord_tangents(coords, 2)
+    y_ref, dy_ref = mlp_apply_with_tangents(params, coords, tang, spec)
+    y3, dy3 = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, precision="f32x3", interpret=True
+    )
+    y16, _ = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, precision="bf16", interpret=True
+    )
+    err3 = float(jnp.abs(y3 - y_ref).max())
+    err3_d = float(jnp.abs(dy3 - dy_ref).max())
+    err16 = float(jnp.abs(y16 - y_ref).max())
+    assert err3 < 1e-4 and err3_d < 2e-4       # ~2^-17 operand precision
+    assert err3 > 1e-7                          # ...but not bitwise f32
+    assert err3 < err16 / 20                    # far tighter than bf16
+
+
+def test_f32x3_split_exactness():
+    """hi + lo must reconstruct f32 values to ~2^-17 relative."""
+    x = jnp.asarray(np.random.RandomState(0).randn(256).astype(np.float32) * 3.7)
+    hi, lo = kernels._split_f32(x)
+    rec = hi.astype(jnp.float32) + lo.astype(jnp.float32)
+    rel = float(jnp.max(jnp.abs(rec - x) / (jnp.abs(x) + 1e-12)))
+    assert rel < 2.0 ** -16
+
+
 def test_invalid_precision_rejected():
     spec = MLPSpec(sizes=(2, 20, 3, ))
     params = init_mlp_params(jax.random.PRNGKey(6), MLPSpec(sizes=(2, 20, 20, 3)))

@@ -117,6 +117,29 @@ def test_training_loss_through_physics_bridge():
     _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
 
 
+def test_fused_vjp_f32x3_grads_track_jax_grad():
+    """Split-f32 training tier: gradients must track jax.grad to ~1e-5 rel
+    (hundreds of times tighter than the bf16 tier)."""
+    spec = MLPSpec(sizes=(2,) + (20,) * 6 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(3), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(7).uniform(-1, 1, (257, 2)), jnp.float32
+    )
+
+    def loss_ref(p):
+        y, dy = mlp_apply_with_tangents(p, coords, _coord_tangents(coords, 2), spec)
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    def loss_f32x3(p):
+        y, dy = kernels_vjp.fused_apply_with_tangents(
+            p, coords, spec, 2, "f32x3", True
+        )
+        return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
+
+    assert float(loss_f32x3(params)) == pytest.approx(float(loss_ref(params)), rel=1e-4)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_f32x3)(params), 5e-5)
+
+
 def test_dropout_rejected():
     spec = MLPSpec(sizes=(2, 20, 20, 3), init_type="xavier", dropout_rate=0.3)
     params = init_mlp_params(jax.random.PRNGKey(11), spec)
