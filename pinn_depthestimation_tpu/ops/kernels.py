@@ -60,7 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 from pinn_depthestimation_tpu.models.mlp import MLPSpec
 
 LANES = 128
-DEFAULT_ROWS = 1024  # packed rows per grid tile (TM); best of {256,512,1024} on v5e
+# Packed rows per grid tile (TM), per precision tier. The cheaper the MXU
+# passes, the larger the optimal tile (per-layer VPU overhead amortizes):
+# v5e sweep — f32 flat 768-1152 (VMEM-bound above ~1024 with f32 weights);
+# f32x3 rises to TM=2048 (+7% over 1024; bf16 weights free ~3 MB of VMEM);
+# bf16 peaks at 1536 (OOMs at 3072).
+DEFAULT_ROWS = 1024
+_DEFAULT_ROWS_BY_PRECISION = {"f32": 1024, "f32x3": 2048, "bf16": 1536}
 
 
 def pallas_supported() -> bool:
@@ -285,7 +291,7 @@ def packed_mlp_fwd_tangents_raw(
     coords: jax.Array,
     spec: MLPSpec,
     n_tangents: int,
-    rows_per_tile: int = DEFAULT_ROWS,
+    rows_per_tile: int = 0,
     precision: str = "f32",
     interpret: bool = False,
 ):
@@ -295,6 +301,8 @@ def packed_mlp_fwd_tangents_raw(
     skip the lane->row unpack relayout (~10% of the bench at 10M points)."""
     if precision not in _DOT_PRECISION:
         raise ValueError(f"precision must be one of {sorted(_DOT_PRECISION)}")
+    if not rows_per_tile:
+        rows_per_tile = _DEFAULT_ROWS_BY_PRECISION[precision]
     three_pass = precision == "f32x3"
     dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
     passes = 2 if three_pass else 1
@@ -366,7 +374,7 @@ def packed_mlp_fwd_tangents(
     coords: jax.Array,
     spec: MLPSpec,
     n_tangents: int,
-    rows_per_tile: int = DEFAULT_ROWS,
+    rows_per_tile: int = 0,
     precision: str = "f32",
     interpret: bool = False,
 ):
@@ -374,6 +382,8 @@ def packed_mlp_fwd_tangents(
 
     Tangents are the first ``n_tangents`` coordinate directions (in input
     order), which is what every residual in ``physics`` consumes.
+    ``rows_per_tile=0`` resolves to the tier's tuned default
+    (``_DEFAULT_ROWS_BY_PRECISION``).
     """
     outs, n, g = packed_mlp_fwd_tangents_raw(
         params, coords, spec, n_tangents, rows_per_tile, precision, interpret

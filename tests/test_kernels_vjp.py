@@ -278,10 +278,13 @@ def test_fused_shard_map_matches_single_device(tmp_path):
     _assert_grads_close(g1, g2, 2e-4)
 
 
-def test_fused_shard_map_shared_forward_matches(tmp_path):
+@pytest.mark.parametrize("fused_precision", ["f32", "f32x3"])
+def test_fused_shard_map_shared_forward_matches(tmp_path, fused_precision):
     """fidelity_is_residual=True routes fidelity through the SAME fused
     forward inside the single shard_map call; numerics must still equal the
-    single-device (separate-forward) fused loss."""
+    single-device (separate-forward) fused loss. Parametrized over the f32
+    and split-f32 tiers (the latter exercises pass-axis packed weights
+    through shard_map)."""
     from pinn_depthestimation_tpu import data as data_mod, parallel
     from pinn_depthestimation_tpu.config import parse_config
     from pinn_depthestimation_tpu.training import build_loss_fn
@@ -311,7 +314,8 @@ def test_fused_shard_map_shared_forward_matches(tmp_path):
     batch_plain = {"fidelity_input": jnp.asarray(td.fidelity_input),
                    "fidelity_true": jnp.asarray(td.fidelity_true),
                    "residual_input": jnp.asarray(td.residual_input)}
-    loss_single = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    loss_single = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True,
+                                fused_precision=fused_precision)
     (t1, (f1, r1)), g1 = jax.value_and_grad(loss_single, has_aux=True)(
         params, batch_plain)
 
@@ -322,7 +326,8 @@ def test_fused_shard_map_shared_forward_matches(tmp_path):
          "residual_input": td.residual_input}, mesh)
     params_repl = parallel.replicate(params, mesh)
     loss_mesh = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True,
-                              mesh=mesh, fidelity_is_residual=True)
+                              mesh=mesh, fidelity_is_residual=True,
+                              fused_precision=fused_precision)
     (t2, (f2, r2)), g2 = jax.jit(jax.value_and_grad(loss_mesh, has_aux=True))(
         params_repl, batch_sh)
     assert float(t2) == pytest.approx(float(t1), rel=1e-5)
