@@ -73,6 +73,9 @@ BWD_ROWS = 256        # points-rows per tile (tuned: +10% over 128 on v5e)
 CKPT_EVERY = 8        # checkpoint cadence (round-2 sweep: 54.2 ms vs 59.2 at
                       # 14, 100k pts x 101 layers; seg-unroll OOMs at 256 rows
                       # and wins nothing at 128 — kept off)
+CKPT_EVERY_F32X3 = 12  # the 3-pass tier recomputes with cheap bf16 matmuls, so
+                       # sparser checkpoints win: 43.3 ms vs 44.8 at ckpt=8
+                       # (100k pts x 101 layers, rows=256; rows>=384 OOMs VMEM)
 SEG_UNROLL_DEFAULT = False
 
 
@@ -418,8 +421,9 @@ def packed_mlp_bwd(
     output cotangents ``ybar (N, d_out)`` and ``dybar (K, N, d_out)``.
 
     ``rows_per_tile``/``ckpt_every`` default (0) to the module-tuned
-    BWD_ROWS/CKPT_EVERY; ``seg_unroll`` -1 resolves to the tuned default,
-    0/1 force the per-segment loops rolled/unrolled."""
+    BWD_ROWS and the per-precision CKPT_EVERY[_F32X3]; ``seg_unroll`` -1
+    resolves to the tuned default, 0/1 force the per-segment loops
+    rolled/unrolled."""
     if spec.dropout_rate:
         raise ValueError("fused VJP kernel does not support dropout")
     three_pass = precision == "f32x3"
@@ -428,7 +432,7 @@ def packed_mlp_bwd(
     packed = pack_params_strided(params, spec, dtype=dtype, passes=passes)
     s, g = packed["s"], packed["g"]
     tm = rows_per_tile or BWD_ROWS
-    ckpt = ckpt_every or CKPT_EVERY
+    ckpt = ckpt_every or (CKPT_EVERY_F32X3 if three_pass else CKPT_EVERY)
     unroll = SEG_UNROLL_DEFAULT if seg_unroll < 0 else bool(seg_unroll)
     w = spec.width
 
