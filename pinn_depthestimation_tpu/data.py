@@ -163,7 +163,16 @@ def _read_legacy_fidelity_csv(path: str) -> pd.DataFrame:
     """
     with open(path) as f:
         first = f.readline()
-    has_header = any(c.isalpha() for c in first.replace("e", "").replace("E", ""))
+
+    def _is_number(tok: str) -> bool:
+        try:
+            float(tok)  # accepts 1.5e-3, nan, inf (dry-gauge rows print 'nan')
+            return True
+        except ValueError:
+            return False
+
+    tokens = first.replace(",", " ").split()
+    has_header = not all(_is_number(t) for t in tokens)
     if has_header:
         return pd.read_csv(path, sep=None, engine="python")
     frame = pd.read_csv(path, sep=r"\s+", header=None)

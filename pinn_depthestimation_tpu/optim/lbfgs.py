@@ -465,8 +465,11 @@ class LBFGSRunner:
         flat0, self._unravel = ravel_pytree(params_template)
         self._n = flat0.shape[0]
         # chunk boundaries are governed by the record buffer: a chunk ends
-        # when fewer than one worst-case line search (MAX_LS + 2 rows) fits
-        self._record_capacity = record_capacity
+        # when fewer than one worst-case line search (MAX_LS + 2 rows) fits.
+        # Below MAX_LS + 3 the chunk loop could never admit an iteration:
+        # run_chunk would return an unchanged RUNNING state and the caller's
+        # drive loop would spin forever — enforce the floor instead.
+        self._record_capacity = max(record_capacity, MAX_LS + 3)
         self._loss_fn = loss_fn
         self._mesh = mesh
 
@@ -493,7 +496,7 @@ class LBFGSRunner:
         @jax.jit
         def init_state(params, batch) -> LBFGSState:
             x, _ = ravel_pytree(params)
-            records = jnp.zeros((record_capacity, 3), jnp.float32)
+            records = jnp.zeros((self._record_capacity, 3), jnp.float32)
             evaluate = _make_recording_evaluate(
                 lambda z: self._flat_value_and_grad(z, batch)
             )

@@ -228,6 +228,12 @@ def make_result_plots(result, config, *, cross_section: int | None = None) -> li
 
     # cross-shore 1-D profiles (reference test.py:120-130; CS=131 there)
     cs = cross_section if cross_section is not None else x.shape[0] // 2
+    if not 0 <= cs < x.shape[0]:
+        raise ValueError(
+            f"cross_section row {cs} out of range for the data_test grid "
+            f"(ny={x.shape[0]} rows; the reference's hardcoded 131 only fits "
+            f"grids with ny > 131)"
+        )
     profile_specs = (
         ("z", "eta", 1.0, (-0.5, 1.5)),
         ("u", "u", 1.0, (-3, 3)),

@@ -157,17 +157,6 @@ def checkpoint_due(iteration: int, kind: str) -> bool:
     return iteration % 1000 == 0
 
 
-def checkpoint_crossed(start: int, end: int, kind: str) -> bool:
-    """Did any cadence point fall in ``(start, end]``?
-
-    The reference evaluates the cadence per closure call; here loss records
-    arrive in device-chunk batches whose sizes rarely land exactly on a
-    multiple (L-BFGS line searches consume variable evaluations), so a
-    checkpoint fires when the counter *crosses* a cadence boundary.
-    """
-    return any(checkpoint_due(i, kind) for i in range(start + 1, end + 1))
-
-
 def checkpoint_points(start: int, end: int, kind: str) -> list[int]:
     """All cadence points in ``(start, end]``, in order.
 

@@ -360,10 +360,17 @@ class Trainer:
             if self.echo_every and epoch % self.echo_every == 0:
                 LossLog.echo(epoch, fid, res, total)
         it = self.state.iteration
-        for point in ckpt_mod.checkpoint_points(start, it, self.config.kind):
+        points = ckpt_mod.checkpoint_points(start, it, self.config.kind)
+        for point in points[:-1]:
             # one file per crossed cadence point, named with the cadence
             # value (reference model_<iter> contract); each holds the
-            # block-end state — see checkpoint.checkpoint_points
+            # block-end state — see checkpoint.checkpoint_points. Only the
+            # last point of a block carries the L-BFGS s/y history (~MBs for
+            # a 100-deep ring buffer): earlier points in the same block would
+            # embed byte-identical copies, and only the latest is a useful
+            # resume target anyway.
+            self.save(f"model_{point}", include_lbfgs=False)
+        for point in points[-1:]:
             self.save(f"model_{point}")
         snap = self.config.snapshot_iteration
         if snap is not None and start < snap <= it:
@@ -394,7 +401,7 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
 
-    def _checkpoint_state(self) -> dict:
+    def _checkpoint_state(self, include_lbfgs: bool = True) -> dict:
         state = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
@@ -402,7 +409,8 @@ class Trainer:
         }
         live = self._live_lbfgs_state
         if (
-            live is not None
+            include_lbfgs
+            and live is not None
             and self._lbfgs_runner is not None
             and int(live.reason) == lbfgs_mod.RUNNING
         ):
@@ -413,9 +421,10 @@ class Trainer:
             state["lbfgs"] = self._lbfgs_runner.export_state(live)
         return state
 
-    def save(self, name: str) -> str:
+    def save(self, name: str, include_lbfgs: bool = True) -> str:
         return ckpt_mod.save_checkpoint(
-            os.path.join(self.run_dir, name), self._checkpoint_state()
+            os.path.join(self.run_dir, name),
+            self._checkpoint_state(include_lbfgs=include_lbfgs),
         )
 
     def restore(self, path: str) -> None:
@@ -442,3 +451,9 @@ class Trainer:
         )
         # optional section written by mid-L-BFGS checkpoints
         self._pending_lbfgs_resume = raw.get("lbfgs")
+        # A run resumed past the snapshot point must not rewrite the
+        # prediction snapshot (.mat) with later-iteration parameters: the
+        # original run already captured it when the counter crossed snap.
+        snap = self.config.snapshot_iteration
+        if snap is not None and self.state.iteration >= snap:
+            self._snapshot_done = True

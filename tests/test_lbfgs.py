@@ -262,3 +262,29 @@ def test_fuzz_against_torch_on_random_problems(seed):
     # same minimizer (strongly convex quadratic dominates)
     np.testing.assert_allclose(np.asarray(x_jax), x_torch, atol=5e-3)
     assert info["nfev"] <= max(3 * evals_torch, evals_torch + 30)
+
+
+def test_tiny_record_capacity_clamped_no_livelock():
+    """record_capacity below one worst-case line search (MAX_LS + 2 rows)
+    used to make run_chunk a no-op: the chunk loop's admission cap went
+    negative, the state came back unchanged and RUNNING, and the caller's
+    drive loop spun forever. The runner now clamps the capacity."""
+    from pinn_depthestimation_tpu.optim.lbfgs import MAX_LS
+
+    def loss_fn(params, batch):
+        del batch
+        v = rosenbrock_jnp(params)
+        return v, (v, jnp.zeros_like(v))
+
+    opts = LBFGSOptions(max_iter=25, max_eval=80)
+    x0 = jnp.asarray([-1.2, 1.0])
+    tiny = LBFGSRunner(loss_fn, x0, opts, record_capacity=4)
+    assert tiny._record_capacity == MAX_LS + 3
+    s = tiny.init(x0, None)
+    for _ in range(500):  # bounded: must terminate well before this
+        if tiny.finished(s):
+            break
+        prev_evals = int(s.func_evals)
+        s, _ = tiny.run_chunk(s, None)
+        assert int(s.func_evals) > prev_evals, "chunk made no progress"
+    assert tiny.finished(s)

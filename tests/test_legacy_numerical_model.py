@@ -188,3 +188,20 @@ def test_legacy_fused_kernel_matches_xla(snapshot_setup):
         np.testing.assert_allclose(
             np.asarray(g2[k]), np.asarray(g1[k]), rtol=2e-3, atol=2e-6
         )
+
+
+def test_legacy_fidelity_csv_nan_first_row_is_headerless(tmp_path):
+    """FUNWAVE dry-gauge rows print literal 'nan'; a headerless CSV whose
+    FIRST row contains one must still be detected as headerless (the old
+    sniffer saw the letters of 'nan' and consumed the row as a header)."""
+    path = str(tmp_path / "fid.csv")
+    rows = [
+        "0.00 25.00 -13.00 nan nan nan nan",
+        "0.05 25.00 -13.00 0.75 0.01 0.02 0.03",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    frame = data_mod._read_legacy_fidelity_csv(path)
+    assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
+    assert len(frame) == 2
+    assert np.isnan(frame["h"].iloc[0]) and frame["h"].iloc[1] == 0.75

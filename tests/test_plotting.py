@@ -85,3 +85,20 @@ def test_images_to_video(tmp_path, grids, config):
     path = plotting.images_to_video(config["plot"]["dir"], out, frame_rate=2)
     assert os.path.exists(path)
     assert os.path.getsize(path) > 1000
+
+
+def test_make_result_plots_cross_section_out_of_range(grids, config):
+    """A cross-section row beyond the grid (e.g. the reference's hardcoded
+    131 on a smaller grid) must raise a clean ValueError, not IndexError."""
+    from pinn_depthestimation_tpu.inference import InferenceResult
+
+    x, y, u, v = grids
+    result = InferenceResult(
+        pred={"u": u, "v": v}, true={"u": u, "v": v}, inputs={"x": x, "y": y}
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        plotting.make_result_plots(result, config, cross_section=131)
+    with pytest.raises(ValueError, match="out of range"):
+        plotting.make_result_plots(result, config, cross_section=-1)
+    # the default mid-row still works on the same grid
+    assert plotting.make_result_plots(result, config)

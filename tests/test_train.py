@@ -377,3 +377,61 @@ def test_lbfgs_runner_export_restore_roundtrip(newmethod_setup):
     bad = dict(blob); bad["rho"] = np.zeros((3,), np.float32)
     with _pytest.raises(ValueError, match="history_size"):
         r3.restore_state(bad)
+
+
+def test_resume_past_snapshot_does_not_rewrite(newmethod_setup):
+    """Resuming a run whose counter is already past snapshot_iteration must
+    NOT rewrite the prediction snapshot with later-iteration parameters."""
+    from scipy.io import loadmat
+
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=20, lbfgs_it=5)
+    raw["snapshot_iteration"] = 10
+    run_dir = str(tmp_path / "runsnap_resume"); os.makedirs(run_dir)
+    tr = Trainer(parse_config(raw), run_dir=run_dir, echo_every=0)
+    tr.train()
+    snap_path = os.path.join(run_dir, "data_at10.mat")
+    snap0 = loadmat(snap_path)["pred_h"].copy()
+
+    tr2 = Trainer(parse_config(raw), run_dir=run_dir, echo_every=0)
+    tr2.restore(os.path.join(run_dir, "model.msgpack"))
+    assert tr2.state.iteration > 10
+    tr2.train()
+    np.testing.assert_array_equal(snap0, loadmat(snap_path)["pred_h"])
+
+
+def test_multi_point_block_writes_lbfgs_state_once(newmethod_setup, monkeypatch):
+    """When one record block crosses several cadence points, only the LAST
+    point's checkpoint carries the L-BFGS s/y history (earlier points in the
+    block would embed byte-identical multi-MB copies)."""
+    from pinn_depthestimation_tpu.training import driver as driver_mod
+
+    mat, tmp_path = newmethod_setup
+    cfg = parse_config(_newmethod_raw(mat, adam_it=5, lbfgs_it=25))
+    calls = []
+
+    class Spy(Trainer):
+        def save(self, name, include_lbfgs=True):
+            state = self._checkpoint_state(include_lbfgs=include_lbfgs)
+            mid_lbfgs = self._live_lbfgs_state is not None and int(
+                self._live_lbfgs_state.reason) == 0
+            calls.append((name, include_lbfgs, "lbfgs" in state, mid_lbfgs))
+            return super().save(name, include_lbfgs=include_lbfgs)
+
+    # pretend every >=2-eval record block crosses two cadence points
+    monkeypatch.setattr(
+        driver_mod.ckpt_mod, "checkpoint_points",
+        lambda start, end, kind: [start + 1, end] if end - start >= 2 else [],
+    )
+    run = str(tmp_path / "spyblocks"); os.makedirs(run)
+    tr = Spy(cfg, run_dir=run, echo_every=0, lbfgs_record_capacity=10)
+    tr.train()
+
+    cadence = [c for c in calls if c[0].startswith("model_")]
+    assert len(cadence) >= 2 and len(cadence) % 2 == 0
+    for first, last in zip(cadence[::2], cadence[1::2]):
+        assert first[1] is False and not first[2]  # early point: params only
+        assert last[1] is True
+        if last[3]:  # mid-L-BFGS block-end point carries the full state
+            assert last[2]
+    assert any(c[2] for c in cadence), "no mid-phase state checkpoint exercised"
