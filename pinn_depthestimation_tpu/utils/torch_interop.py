@@ -1,0 +1,150 @@
+"""Load reference PyTorch ``.pth`` checkpoints into the framework.
+
+The reference saves WHOLE pickled modules — ``torch.save(self.dnn, ...)``
+(reference ``train.py:178-179``) — and reloads them with ``torch.load`` at
+inference time (reference ``test.py:35-42``). A user migrating from the
+reference therefore owns ``model_<iter>.pth`` files whose pickle stream
+references the class ``dnn.DNN``. This module converts such files (and plain
+``state_dict`` saves) into the framework's parameter pytree, so existing
+trained models keep working without retraining:
+
+    params = params_from_torch_file("model_10000.pth")
+    # or: pinn-tpu test --config config_CMB.json --model model_10000.pth
+
+Design notes (TPU-native rebuild, not a port): torch is used ONLY as a
+host-side deserializer here — the tensors are immediately converted to
+numpy/jnp and all compute stays on the JAX path. Unpickling a whole module
+does not need the reference's source: pickle restores an ``nn.Module`` via
+``__class__`` + ``__dict__`` (``__init__`` never runs), so a stub class
+registered under the module/class names the stream mentions is sufficient.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+# Module/class names the reference's pickle streams reference
+# (reference train.py:178 pickles instances of dnn.DNN).
+_STUB_TARGETS = (("dnn", "DNN"),)
+
+
+def _ensure_stub_modules(torch) -> None:
+    """Register minimal stand-in classes so whole-module pickles resolve.
+
+    Only installs a stub when the named module is absent — if the user has
+    the real reference package importable, that is used instead.
+    """
+    for mod_name, cls_name in _STUB_TARGETS:
+        mod = sys.modules.get(mod_name)
+        if mod is not None and hasattr(mod, cls_name):
+            continue
+        if mod is None:
+            mod = types.ModuleType(mod_name)
+            mod.__doc__ = "pinn_depthestimation_tpu stub for torch unpickling"
+            sys.modules[mod_name] = mod
+        stub = type(cls_name, (torch.nn.Module,), {"__module__": mod_name})
+        setattr(mod, cls_name, stub)
+
+
+def _linears_from_module(torch, module) -> list:
+    """The reference net is a Sequential of Linear/activation/Dropout
+    (reference ``dnn.py:25-40``); traversal order == layer order."""
+    return [m for m in module.modules() if isinstance(m, torch.nn.Linear)]
+
+
+def _linears_from_state_dict(state_dict) -> list:
+    """Pair ``<prefix>.weight`` / ``<prefix>.bias`` entries, in key order
+    (Sequential state_dict keys iterate in registration order)."""
+    pairs = []
+    for key, value in state_dict.items():
+        if key.endswith(".weight"):
+            bias_key = key[: -len(".weight")] + ".bias"
+            if bias_key not in state_dict:
+                raise ValueError(f"no bias found for {key!r}")
+            pairs.append((value, state_dict[bias_key]))
+    if not pairs:
+        raise ValueError("no '<prefix>.weight' entries found in state_dict")
+    return pairs
+
+
+def params_from_torch_linears(weights_and_biases) -> dict:
+    """(weight (out,in), bias (out,)) sequence -> framework parameter pytree.
+
+    Torch stores Linear weights as (out_features, in_features); the
+    framework's ``mlp_apply`` uses (in, out) — transposed here once.
+    """
+    wb = [
+        (np.asarray(w, dtype=np.float32).T, np.asarray(b, dtype=np.float32))
+        for w, b in weights_and_biases
+    ]
+    if len(wb) < 2:
+        raise ValueError(f"need at least input+output layers, got {len(wb)}")
+    (w_in, b_in), hidden, (w_out, b_out) = wb[0], wb[1:-1], wb[-1]
+    width = w_in.shape[1]
+    for i, (w, b) in enumerate(hidden):
+        if w.shape != (width, width):
+            raise ValueError(
+                f"hidden layer {i} has shape {w.shape}, expected ({width}, {width})"
+            )
+    if hidden:
+        w_hidden = np.stack([w for w, _ in hidden])
+        b_hidden = np.stack([b for _, b in hidden])
+    else:
+        w_hidden = np.zeros((0, width, width), np.float32)
+        b_hidden = np.zeros((0, width), np.float32)
+    return {
+        "w_in": w_in, "b_in": b_in,
+        "w_hidden": w_hidden, "b_hidden": b_hidden,
+        "w_out": w_out, "b_out": b_out,
+    }
+
+
+def params_from_torch_file(path: str, spec=None) -> dict:
+    """Load a reference ``.pth`` checkpoint -> framework parameter pytree.
+
+    Accepts both formats in the wild: a whole pickled ``dnn.DNN`` module
+    (what the reference training loop saves) and a bare ``state_dict``.
+    ``spec`` (an :class:`~pinn_depthestimation_tpu.models.MLPSpec`) enables
+    architecture validation against the config.
+
+    Uses ``weights_only=False``: whole-module pickles execute arbitrary
+    constructors by design — only load ``.pth`` files you trust (the same
+    caveat applies to the reference's own ``test.py:35``).
+    """
+    import torch  # host-side deserialization only
+
+    _ensure_stub_modules(torch)
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, torch.nn.Module):
+        linears = _linears_from_module(torch, obj)
+        wb = [
+            (lin.weight.detach().numpy(), lin.bias.detach().numpy())
+            for lin in linears
+        ]
+    elif isinstance(obj, dict):
+        wb = [
+            (np.asarray(w.detach() if hasattr(w, "detach") else w),
+             np.asarray(b.detach() if hasattr(b, "detach") else b))
+            for w, b in _linears_from_state_dict(obj)
+        ]
+    else:
+        raise ValueError(
+            f"{path!r}: expected a pickled nn.Module or a state_dict, "
+            f"got {type(obj).__name__}"
+        )
+    params = params_from_torch_linears(wb)
+    if spec is not None:
+        expect = (spec.d_in, spec.width, spec.n_hidden, spec.d_out)
+        got = (
+            params["w_in"].shape[0], params["w_in"].shape[1],
+            params["w_hidden"].shape[0] + 1, params["w_out"].shape[1],
+        )
+        if expect != got:
+            raise ValueError(
+                f"{path!r} architecture (d_in, width, n_hidden, d_out)={got} "
+                f"does not match the config's {expect}"
+            )
+    return params

@@ -1,0 +1,122 @@
+"""Reference ``.pth`` checkpoint interop (reference train.py:178 saves whole
+pickled ``dnn.DNN`` modules; test.py:35-42 reloads them). A migrating user's
+trained models must load into the framework without retraining."""
+
+import sys
+import types
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params, mlp_apply
+from pinn_depthestimation_tpu.utils import torch_interop
+from tests.oracles.torch_reference import build_torch_mlp
+
+SPEC = MLPSpec(sizes=(2, 12, 12, 12, 3), init_type="xavier")
+
+
+def _reference_style_module(params):
+    """An instance pickled as class ``dnn.DNN`` (the reference's stream
+    layout) wrapping the oracle Sequential."""
+    mod = types.ModuleType("dnn")
+
+    class DNN(torch.nn.Module):
+        pass
+
+    DNN.__module__ = "dnn"
+    DNN.__qualname__ = "DNN"  # pickled by reference, resolved via sys.modules
+    mod.DNN = DNN
+    sys.modules["dnn"] = mod
+    net = DNN()
+    net.layers = build_torch_mlp(jax.tree.map(np.asarray, params)).float()
+    return net
+
+
+@pytest.fixture
+def saved_pth(tmp_path):
+    params = init_mlp_params(jax.random.PRNGKey(3), SPEC)
+    net = _reference_style_module(params)
+    path = str(tmp_path / "model_5000.pth")
+    torch.save(net, path)
+    yield params, net, path
+    sys.modules.pop("dnn", None)
+
+
+def test_whole_module_pth_roundtrip(saved_pth):
+    params, _, path = saved_pth
+    loaded = torch_interop.params_from_torch_file(path, spec=SPEC)
+    x = np.random.RandomState(0).uniform(-1, 1, (17, 2)).astype(np.float32)
+    y_ref = mlp_apply(params, x, SPEC)
+    y_loaded = mlp_apply(jax.tree.map(np.asarray, loaded), x, SPEC)
+    np.testing.assert_allclose(np.asarray(y_loaded), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_whole_module_pth_without_reference_source(saved_pth):
+    """The unpickle must succeed even when module ``dnn`` is not importable
+    (the migrating user does not carry the reference's sources): the loader
+    registers a stub class."""
+    params, _, path = saved_pth
+    sys.modules.pop("dnn", None)
+    loaded = torch_interop.params_from_torch_file(path, spec=SPEC)
+    np.testing.assert_allclose(
+        loaded["w_in"], np.asarray(params["w_in"]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_state_dict_pth(tmp_path, saved_pth):
+    params, net, _ = saved_pth
+    path = str(tmp_path / "sd.pth")
+    torch.save(net.state_dict(), path)
+    loaded = torch_interop.params_from_torch_file(path, spec=SPEC)
+    np.testing.assert_allclose(
+        loaded["w_out"], np.asarray(params["w_out"]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_architecture_mismatch_raises(saved_pth):
+    _, _, path = saved_pth
+    wrong = MLPSpec(sizes=(2, 20, 20, 3))
+    with pytest.raises(ValueError, match="does not match the config"):
+        torch_interop.params_from_torch_file(path, spec=wrong)
+
+
+def test_predictor_accepts_pth(tmp_path, saved_pth):
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.inference import Predictor
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    params, _, path = saved_pth
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=8, ny=6, nan_fraction=0.0, seed=5)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 12,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 10, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 1, "learning_rate": 1, "max_evaluation": 2,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+        "data_test": {"file": mat,
+                      "inputs": {"x": {"requires_grad": ["true"]},
+                                 "y": {"requires_grad": ["true"]}},
+                      "outputs": ["U", "V", "h"], "nx": 8, "ny": 6,
+                      "x_min": 25.0, "x_max": 33.0,
+                      "y_min": -13.0, "y_max": 13.0},
+    })
+    predictor = Predictor(cfg, checkpoint_path=path)
+    np.testing.assert_allclose(
+        np.asarray(predictor.params["w_in"]), np.asarray(params["w_in"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    result = predictor.run()
+    assert result.pred["h"].shape == (6, 8)
+    assert np.isfinite(result.pred["h"]).all()
