@@ -6,7 +6,8 @@ The reference has no CLI: config filenames are hardcoded per entry script
 promoted to a flag (SURVEY.md §5 'Config / flag system'):
 
     pinn-tpu train --config config_CMB_h.json [--log-root ../log]
-                   [--resume CKPT] [--mesh N] [--run-name NAME]
+                   [--resume CKPT] [--init-from CKPT|PTH] [--mesh N]
+                   [--run-name NAME]
     pinn-tpu test  --config config_CMB.json [--model CKPT]
     pinn-tpu bench
     pinn-tpu synth --out DIR [--nx 81 --ny 261]
@@ -49,9 +50,37 @@ def cmd_train(args) -> int:
         print(f"Error building device mesh: {e}")
         return 1
 
+    initial_params = None
+    if args.init_from:
+        # warm-start from existing weights — including a reference-trained
+        # .pth (continue a reference run on TPU without losing it)
+        import jax
+
+        from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+
+        spec = MLPSpec.from_layers(config.layers)
+        try:
+            if args.init_from.endswith((".pth", ".pt")):
+                from pinn_depthestimation_tpu.utils.torch_interop import (
+                    params_from_torch_file,
+                )
+
+                initial_params = params_from_torch_file(args.init_from, spec=spec)
+            else:
+                from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
+
+                template = init_mlp_params(jax.random.PRNGKey(config.seed), spec)
+                initial_params = ckpt_mod.restore_params(args.init_from, template)
+        except Exception as e:
+            print(f"Error loading --init-from weights: {e}")
+            return 1
+
     run_dir = make_run_dir(args.log_root, args.run_name)
     print(f"Run directory: {run_dir}")
-    trainer = Trainer(config, run_dir=run_dir, mesh=mesh)
+    trainer = Trainer(config, run_dir=run_dir, mesh=mesh,
+                      initial_params=initial_params)
+    if args.init_from:
+        print(f"Initialized weights from {args.init_from}")
     if args.resume:
         trainer.restore(args.resume)
         print(f"Resumed from {args.resume} at iteration {trainer.state.iteration}")
@@ -186,6 +215,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-root", default="./log")
     t.add_argument("--run-name", default=None, help="run dir name (default: timestamp)")
     t.add_argument("--resume", default=None, help="checkpoint to resume from")
+    t.add_argument("--init-from", default=None,
+                   help="warm-start weights from a checkpoint (.msgpack/orbax "
+                        "or a reference .pth); training counters start fresh")
     t.add_argument("--mesh", type=int, default=None, help="data-parallel mesh size")
     t.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
@@ -206,7 +238,7 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="residual-throughput benchmark")
     b.add_argument("--points", type=int, default=10_000_000)
     b.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
-    b.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    b.add_argument("--precision", choices=["f32", "f32x3", "bf16"], default="f32")
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("video", help="PNG sequence -> AVI (utilities/imgtovid.py)")

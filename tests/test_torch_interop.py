@@ -120,3 +120,74 @@ def test_predictor_accepts_pth(tmp_path, saved_pth):
     result = predictor.run()
     assert result.pred["h"].shape == (6, 8)
     assert np.isfinite(result.pred["h"]).all()
+
+
+def test_train_init_from_pth(tmp_path, saved_pth):
+    """`pinn-tpu train --init-from model.pth` warm-starts from a
+    reference-trained checkpoint (migrate a run to TPU mid-training)."""
+    from pinn_depthestimation_tpu.cli import main
+    from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    params, _, path = saved_pth
+    mat = str(tmp_path / "tr.mat")
+    synthetic.make_newmethod_mat(mat, nx=8, ny=6, nan_fraction=0.0, seed=6)
+    import json
+
+    cfg = {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 12,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 0, "learning_rate": 1e-3,
+                           "scheduler_step_size": 10, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 2,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    rc = main(["train", "--config", str(cfgp), "--log-root", str(tmp_path / "log"),
+               "--run-name", "warm", "--init-from", path])
+    assert rc == 0
+    saved = ckpt_mod.load_raw(str(tmp_path / "log" / "warm" / "model.msgpack"))
+    # a 0-iteration schedule leaves the warm-start weights untouched
+    np.testing.assert_allclose(
+        np.asarray(saved["params"]["w_in"]), np.asarray(params["w_in"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_train_init_from_bad_file(tmp_path):
+    from pinn_depthestimation_tpu.cli import main
+    from pinn_depthestimation_tpu.utils import synthetic
+    import json
+
+    mat = str(tmp_path / "tr.mat")
+    synthetic.make_newmethod_mat(mat, nx=8, ny=6, nan_fraction=0.0, seed=6)
+    bad = tmp_path / "garbage.pth"
+    bad.write_bytes(b"not a checkpoint")
+    cfg = {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 12,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 10, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 2,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    rc = main(["train", "--config", str(cfgp), "--log-root", str(tmp_path / "log"),
+               "--run-name", "bad", "--init-from", str(bad)])
+    assert rc == 1  # clean error exit, no traceback
