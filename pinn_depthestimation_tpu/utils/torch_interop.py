@@ -148,3 +148,27 @@ def params_from_torch_file(path: str, spec=None) -> dict:
                 f"does not match the config's {expect}"
             )
     return params
+
+
+def torch_state_dict_from_params(params: dict) -> dict:
+    """Inverse of :func:`params_from_torch_file`: framework pytree -> torch
+    ``state_dict`` in the reference's exact key layout
+    (``layers.layer_<i>.weight`` / ``.bias``, reference ``dnn.py:35``), so
+    the export loads straight into a freshly constructed reference ``DNN``
+    with ``load_state_dict(strict=True)``. Weights are transposed back to
+    torch's (out_features, in_features) storage.
+    """
+    import torch  # host-side serialization only
+
+    wb = [(params["w_in"], params["b_in"])]
+    wb += list(zip(np.asarray(params["w_hidden"]), np.asarray(params["b_hidden"])))
+    wb.append((params["w_out"], params["b_out"]))
+    out = {}
+    for i, (w, b) in enumerate(wb):
+        out[f"layers.layer_{i}.weight"] = torch.tensor(
+            np.asarray(w, dtype=np.float32).T
+        )
+        out[f"layers.layer_{i}.bias"] = torch.tensor(
+            np.asarray(b, dtype=np.float32)
+        )
+    return out

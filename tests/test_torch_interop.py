@@ -191,3 +191,45 @@ def test_train_init_from_bad_file(tmp_path):
     rc = main(["train", "--config", str(cfgp), "--log-root", str(tmp_path / "log"),
                "--run-name", "bad", "--init-from", str(bad)])
     assert rc == 1  # clean error exit, no traceback
+
+
+def test_export_state_dict_reference_layout(saved_pth):
+    """torch_state_dict_from_params exports in the reference's key layout:
+    loadable strict=True into a module with the reference's Sequential
+    naming, forward-equal to the framework, and round-trippable."""
+    from collections import OrderedDict
+
+    params, _, _ = saved_pth
+    sd = torch_interop.torch_state_dict_from_params(params)
+    assert set(k.split(".")[1] for k in sd) == {f"layer_{i}" for i in range(4)}
+
+    # a module with the reference's naming contract (dnn.py:35-38)
+    items = []
+    for i in range(4):
+        lin = torch.nn.Linear(sd[f"layers.layer_{i}.weight"].shape[1],
+                              sd[f"layers.layer_{i}.weight"].shape[0])
+        items.append((f"layer_{i}", lin))
+        if i < 3:
+            items.append((f"activation_{i}", torch.nn.Tanh()))
+            items.append((f"dropout_{i}", torch.nn.Dropout(0.0)))
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = torch.nn.Sequential(OrderedDict(items))
+
+    net = Net()
+    net.load_state_dict(sd, strict=True)
+    x = np.random.RandomState(1).uniform(-1, 1, (9, 2)).astype(np.float32)
+    with torch.no_grad():
+        y_torch = net.layers(torch.tensor(x)).numpy()
+    y_jax = np.asarray(mlp_apply(params, x, SPEC))
+    np.testing.assert_allclose(y_torch, y_jax, rtol=2e-5, atol=2e-6)
+
+    # round trip back through the importer
+    back = torch_interop.params_from_torch_linears(
+        [(sd[f"layers.layer_{i}.weight"], sd[f"layers.layer_{i}.bias"])
+         for i in range(4)]
+    )
+    np.testing.assert_allclose(back["w_in"], np.asarray(params["w_in"]),
+                               rtol=1e-6, atol=1e-7)
