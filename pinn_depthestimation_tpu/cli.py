@@ -50,6 +50,12 @@ def cmd_train(args) -> int:
         print(f"Error building device mesh: {e}")
         return 1
 
+    if args.init_from and args.resume:
+        # --resume restores params wholesale, which would silently discard
+        # the --init-from weights; refuse the ambiguous combination
+        print("Error: --init-from and --resume are mutually exclusive "
+              "(--resume restores the checkpoint's own weights)")
+        return 1
     initial_params = None
     if args.init_from:
         # warm-start from existing weights — including a reference-trained
@@ -57,20 +63,14 @@ def cmd_train(args) -> int:
         import jax
 
         from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+        from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
 
         spec = MLPSpec.from_layers(config.layers)
         try:
-            if args.init_from.endswith((".pth", ".pt")):
-                from pinn_depthestimation_tpu.utils.torch_interop import (
-                    params_from_torch_file,
-                )
-
-                initial_params = params_from_torch_file(args.init_from, spec=spec)
-            else:
-                from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
-
-                template = init_mlp_params(jax.random.PRNGKey(config.seed), spec)
-                initial_params = ckpt_mod.restore_params(args.init_from, template)
+            template = init_mlp_params(jax.random.PRNGKey(config.seed), spec)
+            initial_params = ckpt_mod.restore_params_any(
+                args.init_from, template, spec=spec
+            )
         except Exception as e:
             print(f"Error loading --init-from weights: {e}")
             return 1

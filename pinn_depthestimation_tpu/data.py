@@ -175,7 +175,10 @@ def _read_legacy_fidelity_csv(path: str) -> pd.DataFrame:
     has_header = not all(_is_number(t) for t in tokens)
     if has_header:
         return pd.read_csv(path, sep=None, engine="python")
-    frame = pd.read_csv(path, sep=r"\s+", header=None)
+    # sep=None sniffs the delimiter, so comma- and space-separated
+    # headerless files both parse (the header decision above already
+    # normalized commas)
+    frame = pd.read_csv(path, sep=None, engine="python", header=None)
     legacy_cols = ["t", "x", "y", "h", "z", "u", "v"]
     if frame.shape[1] != len(legacy_cols):
         raise ValueError(

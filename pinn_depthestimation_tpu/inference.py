@@ -68,21 +68,12 @@ class Predictor:
 
         params = init_mlp_params(jax.random.PRNGKey(config.seed), self.spec)
         path = checkpoint_path or td.model
-        if path and path.endswith((".pth", ".pt")):
-            # a reference torch checkpoint (whole pickled dnn.DNN module or
-            # state_dict, reference test.py:35-42) — converted so migrating
-            # users' trained models load without retraining
-            from pinn_depthestimation_tpu.utils.torch_interop import (
-                params_from_torch_file,
-            )
-
-            params = jax.tree.map(
-                jnp.asarray, params_from_torch_file(path, spec=self.spec)
-            )
-        elif path:
-            # structure-aware restore: accepts full training-state or
-            # bare-params checkpoints; corrupt files raise one clear error
-            restored = ckpt_mod.restore_params(path, params)
+        if path:
+            # structure-aware restore: framework msgpack/orbax (full
+            # training-state or bare-params) or a reference torch .pth
+            # (whole pickled dnn.DNN module / state_dict, reference
+            # test.py:35-42) — migrating users' models load unchanged
+            restored = ckpt_mod.restore_params_any(path, params, spec=self.spec)
             params = jax.tree.map(jnp.asarray, restored)
         self.params = params
         from pinn_depthestimation_tpu.ops import kernels

@@ -127,6 +127,23 @@ def restore_params(path: str, params_template: Any, backend: str | None = None) 
     raise ValueError(f"unknown checkpoint backend {backend!r}")
 
 
+def restore_params_any(path: str, params_template: Any, spec=None) -> Any:
+    """Restore bare model parameters from ANY supported weights file: the
+    framework's msgpack/orbax checkpoints (full training-state or
+    bare-params, via :func:`restore_params`) or a reference torch
+    ``.pth``/``.pt`` (whole pickled ``dnn.DNN`` module or state_dict, via
+    ``utils.torch_interop``). The single dispatch point shared by
+    ``Predictor`` and ``pinn-tpu train --init-from`` so the two surfaces
+    cannot drift."""
+    if path.endswith((".pth", ".pt")):
+        from pinn_depthestimation_tpu.utils.torch_interop import (
+            params_from_torch_file,
+        )
+
+        return params_from_torch_file(path, spec=spec)
+    return restore_params(path, params_template)
+
+
 def latest_checkpoint(run_dir: str, prefix: str = "model_") -> str | None:
     """Find the highest-iteration ``model_<iter>.msgpack`` in a run dir."""
     best, best_it = None, -1

@@ -454,6 +454,18 @@ class Trainer:
         # A run resumed past the snapshot point must not rewrite the
         # prediction snapshot (.mat) with later-iteration parameters: the
         # original run already captured it when the counter crossed snap.
+        # (Edge: a crash between the block's cadence checkpoint and the
+        # snapshot write loses the snapshot-eligible parameters for good —
+        # warn rather than silently writing a mislabeled artifact.)
         snap = self.config.snapshot_iteration
         if snap is not None and self.state.iteration >= snap:
             self._snapshot_done = True
+            fname = "data_at50k.mat" if snap == 50_000 else f"data_at{snap}.mat"
+            if not os.path.exists(os.path.join(self.run_dir, fname)):
+                print(
+                    f"Warning: resumed at iteration {self.state.iteration} >= "
+                    f"snapshot_iteration {snap} but {fname} is missing — the "
+                    f"original run crashed inside the snapshot window; it "
+                    f"will NOT be rewritten (current parameters are from a "
+                    f"later iteration)"
+                )

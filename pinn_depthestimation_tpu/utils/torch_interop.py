@@ -31,12 +31,16 @@ import numpy as np
 _STUB_TARGETS = (("dnn", "DNN"),)
 
 
-def _ensure_stub_modules(torch) -> None:
+def _ensure_stub_modules(torch) -> list:
     """Register minimal stand-in classes so whole-module pickles resolve.
 
     Only installs a stub when the named module is absent — if the user has
-    the real reference package importable, that is used instead.
+    already imported the real reference module, that is used instead.
+    Returns the module names WE installed, so the caller can remove them
+    after the load (a lingering stub would shadow a later real
+    ``import dnn`` for the rest of the process).
     """
+    installed = []
     for mod_name, cls_name in _STUB_TARGETS:
         mod = sys.modules.get(mod_name)
         if mod is not None and hasattr(mod, cls_name):
@@ -45,8 +49,10 @@ def _ensure_stub_modules(torch) -> None:
             mod = types.ModuleType(mod_name)
             mod.__doc__ = "pinn_depthestimation_tpu stub for torch unpickling"
             sys.modules[mod_name] = mod
+            installed.append(mod_name)
         stub = type(cls_name, (torch.nn.Module,), {"__module__": mod_name})
         setattr(mod, cls_name, stub)
+    return installed
 
 
 def _linears_from_module(torch, module) -> list:
@@ -56,18 +62,31 @@ def _linears_from_module(torch, module) -> list:
 
 
 def _linears_from_state_dict(state_dict) -> list:
-    """Pair ``<prefix>.weight`` / ``<prefix>.bias`` entries, in key order
-    (Sequential state_dict keys iterate in registration order)."""
-    pairs = []
+    """Pair ``<prefix>.weight`` / ``<prefix>.bias`` entries in LAYER order.
+
+    Dict insertion order is registration order for a freshly saved
+    Sequential, but a re-serialized state_dict (sorted keys, safetensors
+    round-trip) can arrive permuted — and with uniform hidden widths no
+    shape check would catch scrambled layers. When every prefix carries a
+    layer index (the reference's ``layers.layer_<i>``), sort by it;
+    otherwise fall back to insertion order.
+    """
+    import re
+
+    entries = []
     for key, value in state_dict.items():
         if key.endswith(".weight"):
-            bias_key = key[: -len(".weight")] + ".bias"
+            prefix = key[: -len(".weight")]
+            bias_key = prefix + ".bias"
             if bias_key not in state_dict:
                 raise ValueError(f"no bias found for {key!r}")
-            pairs.append((value, state_dict[bias_key]))
-    if not pairs:
+            nums = re.findall(r"\d+", prefix)
+            entries.append((prefix, nums, value, state_dict[bias_key]))
+    if not entries:
         raise ValueError("no '<prefix>.weight' entries found in state_dict")
-    return pairs
+    if all(nums for _, nums, _, _ in entries):
+        entries.sort(key=lambda e: [int(n) for n in e[1]])
+    return [(w, b) for _, _, w, b in entries]
 
 
 def params_from_torch_linears(weights_and_biases) -> dict:
@@ -116,8 +135,12 @@ def params_from_torch_file(path: str, spec=None) -> dict:
     """
     import torch  # host-side deserialization only
 
-    _ensure_stub_modules(torch)
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    installed = _ensure_stub_modules(torch)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for name in installed:  # don't shadow a later real `import dnn`
+            sys.modules.pop(name, None)
     if isinstance(obj, torch.nn.Module):
         linears = _linears_from_module(torch, obj)
         wb = [
@@ -160,6 +183,11 @@ def torch_state_dict_from_params(params: dict) -> dict:
     """
     import torch  # host-side serialization only
 
+    if np.asarray(params["w_in"]).shape[1] == 0:
+        raise ValueError(
+            "cannot export a zero-hidden-layer parameter set: the reference "
+            "DNN layout has no representation for it"
+        )
     wb = [(params["w_in"], params["b_in"])]
     wb += list(zip(np.asarray(params["w_hidden"]), np.asarray(params["b_hidden"])))
     wb.append((params["w_out"], params["b_out"]))

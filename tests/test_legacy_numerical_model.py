@@ -205,3 +205,16 @@ def test_legacy_fidelity_csv_nan_first_row_is_headerless(tmp_path):
     assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
     assert len(frame) == 2
     assert np.isnan(frame["h"].iloc[0]) and frame["h"].iloc[1] == 0.75
+
+
+def test_legacy_fidelity_csv_comma_separated_headerless(tmp_path):
+    """A comma-separated headerless numeric CSV parses via delimiter
+    sniffing (the sniffer normalizes commas for the header decision; the
+    parse must handle them too)."""
+    path = str(tmp_path / "fid_comma.csv")
+    with open(path, "w") as f:
+        f.write("0.00,25.00,-13.00,0.75,0.01,0.02,0.03\n")
+        f.write("0.05,25.00,-12.00,0.74,0.02,0.03,0.04\n")
+    frame = data_mod._read_legacy_fidelity_csv(path)
+    assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
+    assert len(frame) == 2 and frame["y"].iloc[1] == -12.0

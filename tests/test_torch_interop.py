@@ -233,3 +233,76 @@ def test_export_state_dict_reference_layout(saved_pth):
     )
     np.testing.assert_allclose(back["w_in"], np.asarray(params["w_in"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_state_dict_key_order_permutation(tmp_path, saved_pth):
+    """A re-serialized state_dict with permuted key order (sorted keys,
+    safetensors round-trip) must still load layers in index order — uniform
+    hidden widths would otherwise let scrambled layers pass every shape
+    check silently."""
+    params, net, _ = saved_pth
+    sd = net.state_dict()
+    # lexicographic sort puts layer_10-style keys before layer_2; with only
+    # 4 layers, reverse order is an equally index-breaking permutation
+    permuted = dict(sorted(sd.items(), reverse=True))
+    assert list(permuted) != list(sd)
+    path = str(tmp_path / "permuted.pth")
+    torch.save(permuted, path)
+    loaded = torch_interop.params_from_torch_file(path, spec=SPEC)
+    np.testing.assert_allclose(
+        loaded["w_in"], np.asarray(params["w_in"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        loaded["w_out"], np.asarray(params["w_out"]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_stub_module_removed_after_load(saved_pth):
+    """The unpickling stub must not linger in sys.modules where it would
+    shadow a later real `import dnn`."""
+    _, _, path = saved_pth
+    sys.modules.pop("dnn", None)
+    torch_interop.params_from_torch_file(path, spec=SPEC)
+    assert "dnn" not in sys.modules
+
+
+def test_export_zero_hidden_raises():
+    degenerate = {
+        "w_in": np.zeros((2, 0), np.float32), "b_in": np.zeros((0,), np.float32),
+        "w_hidden": np.zeros((0, 0, 0), np.float32),
+        "b_hidden": np.zeros((0, 0), np.float32),
+        "w_out": np.zeros((2, 3), np.float32), "b_out": np.zeros((3,), np.float32),
+    }
+    with pytest.raises(ValueError, match="zero-hidden-layer"):
+        torch_interop.torch_state_dict_from_params(degenerate)
+
+
+def test_init_from_with_resume_refused(tmp_path, saved_pth):
+    from pinn_depthestimation_tpu.cli import main
+
+    _, _, path = saved_pth
+    import json
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    mat = str(tmp_path / "d.mat")
+    synthetic.make_newmethod_mat(mat, nx=8, ny=6, nan_fraction=0.0, seed=6)
+    cfg = {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 12,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 10, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 2,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    rc = main(["train", "--config", str(cfgp), "--log-root", str(tmp_path / "log"),
+               "--init-from", path, "--resume", "ckpt.msgpack"])
+    assert rc == 1
