@@ -19,22 +19,26 @@ finite = st.floats(
 
 @settings(max_examples=200, deadline=None)
 @given(
-    data=st.lists(finite, min_size=1, max_size=50),
+    fracs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=50,
+    ),
     lo=finite,
     span=st.floats(min_value=1e-6, max_value=1e6, allow_nan=False),
 )
-def test_normalize_round_trip(data, lo, span):
-    """denormalize(normalize(x)) == x for any non-degenerate range, and the
-    normalized values of in-range data stay in [-1, 1] (reference
-    operations.py:4-13 affine map)."""
-    arr = np.asarray(data, np.float64)
+def test_normalize_round_trip(fracs, lo, span):
+    """denormalize(normalize(x)) == x over the map's domain (bounds covering
+    the data — how the pipeline always uses it: min/max come from the data
+    itself or config bounds, reference operations.py:4-13/19-28), and the
+    normalized values stay in [-1, 1]. Out-of-range points far beyond a tiny
+    span lose precision to cancellation by floating-point necessity, so the
+    property is stated on the domain."""
     hi = lo + span
+    arr = lo + np.asarray(fracs, np.float64) * span
     normed = normalize(arr, lo, hi)
     back = denormalize(normed, lo, hi)
-    np.testing.assert_allclose(back, arr, rtol=1e-9, atol=1e-6 * span)
-    clipped = np.clip(arr, lo, hi)
-    inside = normalize(clipped, lo, hi)
-    assert np.all(inside >= -1 - 1e-9) and np.all(inside <= 1 + 1e-9)
+    np.testing.assert_allclose(back, arr, rtol=1e-9, atol=1e-9 * span + 1e-12)
+    assert np.all(normed >= -1 - 1e-9) and np.all(normed <= 1 + 1e-9)
 
 
 @settings(max_examples=200, deadline=None)
