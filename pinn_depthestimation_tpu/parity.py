@@ -242,6 +242,10 @@ torch-seeded initial weights. Reference executed from its own sources
 * schedule: {args.iters} Adam + up to {args.lbfgs} L-BFGS evaluations
 * reference wall-clock (torch CPU): {ref_wall:.0f} s
 * framework wall-clock: {our_wall:.0f} s ({ref_wall / max(our_wall, 1e-9):.1f}x)
+  (this experiment's ~200-point toy problem is dispatch-bound, and through
+  the remote-TPU tunnel its wall-clock varies run to run — the report's
+  purpose is the NUMERICS; performance claims live in README.md/ROOFLINE.md
+  and are measured at real problem sizes)
 
 ## Per-iteration total loss
 
