@@ -31,9 +31,11 @@ REFERENCE = "/root/reference"
 
 
 def make_config(mat_path: str, adam_iters: int, lbfgs_iters: int,
-                tol_grad: float = 1e-5, tol_change: float = 1e-7) -> dict:
+                tol_grad: float = 1e-5, tol_change: float = 1e-7,
+                hidden_layers: int = 3, hidden_width: int = 16) -> dict:
     return {
-        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 16,
+        "layers": {"input_features": 2, "hidden_layers": hidden_layers,
+                   "hidden_width": hidden_width,
                    "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
         "adam_optimizer": {"max_it": adam_iters, "learning_rate": 1e-4,
                            "scheduler_step_size": 10000, "scheduler_gamma": 0.8},
@@ -103,7 +105,8 @@ def run_reference(workdir: str, mat: str, cfg: dict) -> tuple[list, np.ndarray, 
     return totals, h_field, wall
 
 
-def reference_initial_params(workdir: str):
+def reference_initial_params(workdir: str, hidden_layers: int = 3,
+                             hidden_width: int = 16):
     import torch
 
     sys.path.insert(0, workdir)
@@ -113,7 +116,9 @@ def reference_initial_params(workdir: str):
         dnn_mod = importlib.import_module("dnn")
         importlib.reload(dnn_mod)
         torch.manual_seed(1234)
-        model = dnn_mod.DNN([2] + [16] * 3 + [3], 0.0, "xavier")
+        model = dnn_mod.DNN(
+            [2] + [hidden_width] * hidden_layers + [3], 0.0, "xavier"
+        )
     finally:
         sys.path.pop(0)
     import jax.numpy as jnp
@@ -138,7 +143,27 @@ def main(argv=None) -> int:
                     help="L-BFGS tolerance_grad (reference config value 1e-5; "
                          "tighten for a deep cold-start L-BFGS horizon)")
     ap.add_argument("--tol-change", type=float, default=1e-7)
+    ap.add_argument("--hidden-layers", type=int, default=3,
+                    help="hidden layer count (flagship: 100, reference "
+                         "config_CMB_h.json:4)")
+    ap.add_argument("--width", type=int, default=16,
+                    help="hidden width (flagship: 20)")
+    ap.add_argument("--nx", type=int, default=16,
+                    help="grid columns (flagship: 81, config_CMB_h.json:51)")
+    ap.add_argument("--ny", type=int, default=14,
+                    help="grid rows (flagship: 261)")
+    ap.add_argument("--nan-fraction", type=float, default=0.05,
+                    help="fraction of NaN observation rows; the real flagship "
+                         "dataset keeps 12,514 of 21,141 grid points, i.e. "
+                         "nan-fraction 0.408")
     ap.add_argument("--out", default="PARITY_REPORT.md")
+    ap.add_argument("--ref-cache", default=None,
+                    help="npz path caching the reference phase (totals, "
+                         "h-field, wall, initial params); lets the long torch "
+                         "CPU run and the TPU framework run execute in "
+                         "separate processes")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="stop after the reference phase (requires --ref-cache)")
     args = ap.parse_args(argv)
 
     if not os.path.isdir(REFERENCE):
@@ -156,16 +181,44 @@ def main(argv=None) -> int:
     workdir = os.path.join(tmp, "ref")
     os.makedirs(workdir)
     mat = os.path.join(tmp, "data.mat")
-    synthetic.make_newmethod_mat(mat, nx=16, ny=14, nan_fraction=0.05, seed=21)
+    synthetic.make_newmethod_mat(
+        mat, nx=args.nx, ny=args.ny, nan_fraction=args.nan_fraction, seed=21
+    )
     cfg_raw = make_config(mat, args.iters, args.lbfgs,
-                          tol_grad=args.tol_grad, tol_change=args.tol_change)
+                          tol_grad=args.tol_grad, tol_change=args.tol_change,
+                          hidden_layers=args.hidden_layers, hidden_width=args.width)
 
-    print(f"[1/3] reference run ({args.iters} Adam + {args.lbfgs} L-BFGS)...", flush=True)
-    ref_totals, ref_h, ref_wall = run_reference(workdir, mat, cfg_raw)
-    print(f"      reference: {len(ref_totals)} evals in {ref_wall:.0f}s", flush=True)
+    shape = (f"2->[{args.width}]x{args.hidden_layers}->3, "
+             f"{args.nx}x{args.ny} grid, nan {args.nan_fraction:.0%}")
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        print(f"[1/3] reference phase loaded from cache {args.ref_cache}",
+              flush=True)
+        z = np.load(args.ref_cache)
+        ref_totals = z["totals"].tolist()
+        ref_h, ref_wall = z["h"], float(z["wall"])
+        import jax.numpy as jnp
+
+        params = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("p_")}
+    else:
+        print(f"[1/3] reference run ({args.iters} Adam + {args.lbfgs} L-BFGS, "
+              f"{shape})...", flush=True)
+        ref_totals, ref_h, ref_wall = run_reference(workdir, mat, cfg_raw)
+        print(f"      reference: {len(ref_totals)} evals in {ref_wall:.0f}s",
+              flush=True)
+        params = reference_initial_params(workdir, args.hidden_layers, args.width)
+        if args.ref_cache:
+            np.savez(
+                args.ref_cache,
+                totals=np.asarray(ref_totals),
+                h=ref_h,
+                wall=ref_wall,
+                **{f"p_{k}": np.asarray(v) for k, v in params.items()},
+            )
+            print(f"      cached to {args.ref_cache}", flush=True)
+    if args.ref_only:
+        return 0
 
     print("[2/3] framework run with identical initial weights...", flush=True)
-    params = reference_initial_params(workdir)
     cfg = parse_config(cfg_raw)
     run_dir = os.path.join(tmp, "ours")
     os.makedirs(run_dir)
@@ -233,19 +286,28 @@ the CI assertion in tests/test_parity.py (prefix >= 20, gap < 0.1).
         f"| {i + 1} | {rt[i]:.6e} | {ot[i]:.6e} | {rel[i]:.2e} |"
         for i in sorted(set(checkpoints))
     )
+    n_points = int(ref_h.shape[0])
+    if n_points < 2000:
+        wall_note = """  (this experiment's toy problem is dispatch-bound, and through
+  the remote-TPU tunnel its wall-clock varies run to run — the report's
+  purpose is the NUMERICS; performance claims live in README.md/ROOFLINE.md
+  and are measured at real problem sizes)"""
+    else:
+        wall_note = """  (framework wall includes first-XLA-compile through the TPU tunnel;
+  steady-state per-iteration rates below)"""
     report = f"""# PARITY REPORT — actual reference vs pinn_depthestimation_tpu
 
 Full-schedule run on identical synthetic data with the reference's exact
 torch-seeded initial weights. Reference executed from its own sources
 (sandbox copy of /root/reference); framework = `Trainer` as shipped.
 
+* problem shape: {shape} -> {n_points} observed points
 * schedule: {args.iters} Adam + up to {args.lbfgs} L-BFGS evaluations
 * reference wall-clock (torch CPU): {ref_wall:.0f} s
-* framework wall-clock: {our_wall:.0f} s ({ref_wall / max(our_wall, 1e-9):.1f}x)
-  (this experiment's ~200-point toy problem is dispatch-bound, and through
-  the remote-TPU tunnel its wall-clock varies run to run — the report's
-  purpose is the NUMERICS; performance claims live in README.md/ROOFLINE.md
-  and are measured at real problem sizes)
+  ({len(ref_totals) / max(ref_wall, 1e-9):.1f} evals/s)
+* framework wall-clock: {our_wall:.0f} s ({ref_wall / max(our_wall, 1e-9):.1f}x;
+  {len(our_totals) / max(our_wall, 1e-9):.1f} evals/s)
+{wall_note}
 
 ## Per-iteration total loss
 
