@@ -38,6 +38,8 @@ def cmd_train(args) -> int:
     try:
         config = load_config(args.config)
     except Exception as e:
+        if args.debug:
+            raise
         print(f"Error reading config file: {e}")
         return 1
     mesh = None
@@ -72,6 +74,8 @@ def cmd_train(args) -> int:
                 args.init_from, template, spec=spec
             )
         except Exception as e:
+            if args.debug:
+                raise
             print(f"Error loading --init-from weights: {e}")
             return 1
 
@@ -113,11 +117,15 @@ def cmd_test(args) -> int:
     try:
         config = load_config(args.config)
     except Exception as e:
+        if args.debug:
+            raise
         print(f"Error reading config file: {e}")
         return 1
     try:
         predictor = Predictor(config, checkpoint_path=args.model)
     except Exception as e:
+        if args.debug:
+            raise
         print(f"Error loading model: {e}")
         return 1
     result = predictor.run()
@@ -170,7 +178,17 @@ def cmd_video(args) -> int:
 def cmd_parity(args) -> int:
     from pinn_depthestimation_tpu.parity import main as parity_main
 
-    argv = ["--iters", str(args.iters), "--lbfgs", str(args.lbfgs), "--out", args.out]
+    argv = [
+        "--iters", str(args.iters), "--lbfgs", str(args.lbfgs),
+        "--out", args.out,
+        "--hidden-layers", str(args.hidden_layers), "--width", str(args.width),
+        "--nx", str(args.nx), "--ny", str(args.ny),
+        "--nan-fraction", str(args.nan_fraction),
+    ]
+    if args.ref_cache:
+        argv += ["--ref-cache", args.ref_cache]
+    if args.ref_only:
+        argv += ["--ref-only"]
     return parity_main(argv)
 
 
@@ -208,6 +226,9 @@ def cmd_plot_log(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pinn-tpu", description=__doc__)
+    p.add_argument("--debug", action="store_true",
+                   help="re-raise errors with a full traceback instead of "
+                        "the friendly exit-1 message")
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="train a PINN from a reference-schema config")
@@ -253,6 +274,17 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--iters", type=int, default=50_000)
     pa.add_argument("--lbfgs", type=int, default=500)
     pa.add_argument("--out", default="PARITY_REPORT.md")
+    pa.add_argument("--hidden-layers", type=int, default=3,
+                    help="hidden layer count (flagship: 100)")
+    pa.add_argument("--width", type=int, default=16, help="hidden width (flagship: 20)")
+    pa.add_argument("--nx", type=int, default=16, help="grid columns (flagship: 81)")
+    pa.add_argument("--ny", type=int, default=14, help="grid rows (flagship: 261)")
+    pa.add_argument("--nan-fraction", type=float, default=0.05,
+                    help="NaN observation fraction (flagship dataset: 0.408)")
+    pa.add_argument("--ref-cache", default=None,
+                    help="npz caching the torch reference phase across processes")
+    pa.add_argument("--ref-only", action="store_true",
+                    help="run/cache only the reference phase")
     pa.set_defaults(fn=cmd_parity)
 
     s = sub.add_parser("synth", help="generate synthetic datasets (reference schema)")

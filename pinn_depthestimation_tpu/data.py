@@ -175,10 +175,14 @@ def _read_legacy_fidelity_csv(path: str) -> pd.DataFrame:
     has_header = not all(_is_number(t) for t in tokens)
     if has_header:
         return pd.read_csv(path, sep=None, engine="python")
-    # sep=None sniffs the delimiter, so comma- and space-separated
-    # headerless files both parse (the header decision above already
-    # normalized commas)
-    frame = pd.read_csv(path, sep=None, engine="python", header=None)
+    # Whitespace-delimited headerless files (the prep script's format, incl.
+    # hand/Fortran-padded column alignment with runs of spaces) need
+    # sep=r"\s+" — the sniffer would pick a single space and invent empty
+    # columns. Only fall back to sniffing when the row contains commas.
+    if "," in first:
+        frame = pd.read_csv(path, sep=None, engine="python", header=None)
+    else:
+        frame = pd.read_csv(path, sep=r"\s+", header=None)
     legacy_cols = ["t", "x", "y", "h", "z", "u", "v"]
     if frame.shape[1] != len(legacy_cols):
         raise ValueError(

@@ -1,3 +1,4 @@
+from pinn_depthestimation_tpu.models.flax_mlp import PinnMLP  # noqa: F401
 from pinn_depthestimation_tpu.models.mlp import (  # noqa: F401
     MLPSpec,
     init_mlp_params,

@@ -31,16 +31,17 @@ import numpy as np
 _STUB_TARGETS = (("dnn", "DNN"),)
 
 
-def _ensure_stub_modules(torch) -> list:
+def _ensure_stub_modules(torch) -> tuple[list, list]:
     """Register minimal stand-in classes so whole-module pickles resolve.
 
-    Only installs a stub when the named module is absent — if the user has
-    already imported the real reference module, that is used instead.
-    Returns the module names WE installed, so the caller can remove them
-    after the load (a lingering stub would shadow a later real
-    ``import dnn`` for the rest of the process).
+    Only installs a stub when the named module (or its class attribute) is
+    absent — if the user has already imported the real reference module,
+    that is used instead. Returns ``(module_names, (module, attr) pairs)``
+    WE installed, so the caller can undo both after the load (a lingering
+    stub module would shadow a later real ``import dnn``; a stub attribute
+    set on a pre-existing foreign module would mutate it permanently).
     """
-    installed = []
+    installed_modules, installed_attrs = [], []
     for mod_name, cls_name in _STUB_TARGETS:
         mod = sys.modules.get(mod_name)
         if mod is not None and hasattr(mod, cls_name):
@@ -49,10 +50,12 @@ def _ensure_stub_modules(torch) -> list:
             mod = types.ModuleType(mod_name)
             mod.__doc__ = "pinn_depthestimation_tpu stub for torch unpickling"
             sys.modules[mod_name] = mod
-            installed.append(mod_name)
+            installed_modules.append(mod_name)
+        else:
+            installed_attrs.append((mod, cls_name))
         stub = type(cls_name, (torch.nn.Module,), {"__module__": mod_name})
         setattr(mod, cls_name, stub)
-    return installed
+    return installed_modules, installed_attrs
 
 
 def _linears_from_module(torch, module) -> list:
@@ -108,6 +111,11 @@ def params_from_torch_linears(weights_and_biases) -> dict:
             raise ValueError(
                 f"hidden layer {i} has shape {w.shape}, expected ({width}, {width})"
             )
+    if w_out.shape[0] != width:
+        raise ValueError(
+            f"output layer expects {w_out.shape[0]} inputs but the last "
+            f"hidden width is {width} — inconsistent state_dict layer order"
+        )
     if hidden:
         w_hidden = np.stack([w for w, _ in hidden])
         b_hidden = np.stack([b for _, b in hidden])
@@ -129,18 +137,34 @@ def params_from_torch_file(path: str, spec=None) -> dict:
     ``spec`` (an :class:`~pinn_depthestimation_tpu.models.MLPSpec`) enables
     architecture validation against the config.
 
-    Uses ``weights_only=False``: whole-module pickles execute arbitrary
-    constructors by design — only load ``.pth`` files you trust (the same
-    caveat applies to the reference's own ``test.py:35``).
+    Tries ``weights_only=True`` first (safe for ``state_dict`` saves); only
+    whole-module pickles fall back to full unpickling, which executes
+    arbitrary constructors by design — a loud warning names the file, and
+    such ``.pth`` files must be trusted (the same caveat applies to the
+    reference's own ``test.py:35``).
     """
     import torch  # host-side deserialization only
 
-    installed = _ensure_stub_modules(torch)
     try:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-    finally:
-        for name in installed:  # don't shadow a later real `import dnn`
-            sys.modules.pop(name, None)
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(
+            f"warning: {path!r} is not a plain state_dict; falling back to "
+            "full unpickling (executes code from the file — trusted "
+            "checkpoints only)",
+            file=sys.stderr,
+        )
+        installed_modules, installed_attrs = _ensure_stub_modules(torch)
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        finally:
+            for name in installed_modules:  # don't shadow a later `import dnn`
+                sys.modules.pop(name, None)
+            for mod, attr in installed_attrs:  # undo foreign-module mutation
+                try:
+                    delattr(mod, attr)
+                except AttributeError:
+                    pass
     if isinstance(obj, torch.nn.Module):
         linears = _linears_from_module(torch, obj)
         wb = [

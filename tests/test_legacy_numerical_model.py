@@ -218,3 +218,19 @@ def test_legacy_fidelity_csv_comma_separated_headerless(tmp_path):
     frame = data_mod._read_legacy_fidelity_csv(path)
     assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
     assert len(frame) == 2 and frame["y"].iloc[1] == -12.0
+
+
+def test_legacy_fidelity_csv_space_padded_columns(tmp_path):
+    """Fortran/hand-aligned files pad columns with RUNS of spaces; the
+    delimiter sniffer would pick a single space and invent empty columns
+    ('got 15'); whitespace-regex parsing must handle them."""
+    path = str(tmp_path / "fid_padded.csv")
+    rows = [
+        " 0.00  25.00  -13.00   0.75  0.01  0.02  0.03",
+        " 0.05  25.00  -12.00   0.74  0.02  0.03  0.04",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    frame = data_mod._read_legacy_fidelity_csv(path)
+    assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
+    assert len(frame) == 2 and frame["y"].iloc[1] == -12.0

@@ -153,3 +153,45 @@ def test_kaiming_uses_leaky_relu():
     y_pos = mlp_apply(params, jnp.array([[1.0]]), spec)
     np.testing.assert_allclose(float(y_neg[0, 0]), 4 * 0.01 * -1.0, rtol=1e-6)
     np.testing.assert_allclose(float(y_pos[0, 0]), 4 * 1.0, rtol=1e-6)
+
+
+def test_flax_pinn_mlp_matches_functional_surface():
+    """`PinnMLP` (the nn.Module-style surface, reference dnn.py:5) must be a
+    pure veneer: identical outputs and tangents to the functional core."""
+    from pinn_depthestimation_tpu.models import PinnMLP
+
+    spec = _spec((2, 12, 12, 12, 3))
+    module = PinnMLP(spec)
+    x = jax.random.normal(jax.random.PRNGKey(3), (17, 2))
+    variables = module.init(jax.random.PRNGKey(4), x)
+    params = variables["params"]["mlp"]
+
+    # init delegates to init_mlp_params: zero-bias-except-final preserved
+    assert np.all(np.asarray(params["b_in"]) == 0.0)
+    assert np.any(np.asarray(params["b_out"]) != 0.0)
+
+    y_mod = module.apply(variables, x)
+    y_fn = mlp_apply(params, x, spec)
+    np.testing.assert_array_equal(np.asarray(y_mod), np.asarray(y_fn))
+
+    tangents = jnp.stack([jnp.tile(jnp.array([1.0, 0.0]), (17, 1)),
+                          jnp.tile(jnp.array([0.0, 1.0]), (17, 1))])
+    out_mod = module.apply_with_tangents(variables, x, tangents)
+    out_fn = mlp_apply_with_tangents(params, x, tangents, spec)
+    for a, b in zip(jax.tree_util.tree_leaves(out_mod),
+                    jax.tree_util.tree_leaves(out_fn)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flax_pinn_mlp_dropout_rng_threading():
+    from pinn_depthestimation_tpu.models import PinnMLP
+
+    spec = _spec((2, 8, 8, 3), dropout=0.5)
+    module = PinnMLP(spec)
+    x = jax.random.normal(jax.random.PRNGKey(5), (9, 2))
+    variables = module.init(jax.random.PRNGKey(6), x)
+    y_eval = module.apply(variables, x)  # no rng -> deterministic eval mode
+    y_eval2 = module.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(y_eval2))
+    y_train = module.apply(variables, x, dropout_rng=jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(y_train), np.asarray(y_eval))

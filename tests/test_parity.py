@@ -188,3 +188,151 @@ def test_snapshot_schema_matches_reference_artifact(setup):
         assert key in ours
         assert ours[key].ndim == 2 and ours[key].shape[1] == 1  # column vectors
         assert ours[key].dtype == np.float32 == np.dtype(dtype)
+
+
+def _make_raw(mat, *, init_type="xavier", dropout=0.0, adam_steps=ADAM_STEPS):
+    return {
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 16,
+                   "output_features": 3, "dropout_rate": dropout,
+                   "init_type": init_type},
+        "adam_optimizer": {"max_it": adam_steps, "learning_rate": LR,
+                           "scheduler_step_size": SCHED_STEP,
+                           "scheduler_gamma": SCHED_GAMMA},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 10, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat,
+                 "inputs": {"x": {"requires_grad": ["true"]},
+                            "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+
+
+def test_kaiming_adam_phase_tracks_reference(tmp_path):
+    """LeakyReLU(0.01)+kaiming training parity (reference dnn.py:18-23,44-47):
+    the non-default activation/init pairing through full Adam dynamics,
+    including the residual's LeakyReLU derivative."""
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=14, ny=12, nan_fraction=0.0, seed=17)
+    cfg = parse_config(_make_raw(mat, init_type="kaiming"))
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(321), spec)
+
+    run_dir = str(tmp_path / "run"); os.makedirs(run_dir)
+    trainer = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+    coords = trainer.data.fidelity_input.astype(np.float64)
+    trues = trainer.data.fidelity_true.astype(np.float64)
+
+    from tests.oracles.torch_reference import build_torch_mlp as _build
+
+    model = _build(jax.tree.map(np.asarray, params), init_type="kaiming")
+    x = torch.tensor(coords[:, 0:1], dtype=torch.float64, requires_grad=True)
+    y = torch.tensor(coords[:, 1:2], dtype=torch.float64, requires_grad=True)
+    true_t = torch.tensor(trues, dtype=torch.float64)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=SCHED_STEP,
+                                            gamma=SCHED_GAMMA)
+    torch_totals = []
+    for _ in range(ADAM_STEPS):
+        opt.zero_grad()
+        pred = model(torch.cat([x, y], dim=-1))
+        U, V, h = pred[:, 0:1], pred[:, 1:2], pred[:, 2:3]
+        fid = torch.nn.functional.mse_loss(U, true_t[:, 0:1]) + \
+              torch.nn.functional.mse_loss(V, true_t[:, 1:2])
+        total = fid + loss_continuity_only(x, y, h, U, V)
+        total.backward()
+        opt.step(); sched.step()
+        torch_totals.append(float(total))
+
+    trainer.train_adam()
+    _, _, _, jax_totals = read_log(run_dir)
+    assert len(jax_totals) == ADAM_STEPS
+    np.testing.assert_allclose(np.asarray(jax_totals), np.asarray(torch_totals),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(jax_totals[:10]),
+                               np.asarray(torch_totals[:10]), rtol=2e-4)
+
+
+class _FixedMask(torch.nn.Module):
+    """Stands in for torch.nn.Dropout with an externally injected mask (so
+    both frameworks see the SAME Bernoulli draw; mask already carries the
+    1/keep inverted scaling)."""
+
+    def __init__(self):
+        super().__init__()
+        self.mask = None
+
+    def forward(self, x):
+        return x if self.mask is None else x * self.mask
+
+
+def test_dropout_adam_phase_tracks_reference(tmp_path):
+    """Dropout>0 training parity (reference dnn.py:38: Dropout after every
+    hidden activation, inverted scaling). Masks are drawn once per iteration
+    from the framework's RNG chain (fold_in(base_key, iter) -> per-layer
+    split -> bernoulli) and injected into the torch oracle, which mirrors the
+    framework's documented semantics: dropout on the fidelity forward,
+    deterministic residual forward (models/mlp.py:249 — the tangent fusion is
+    eval-mode; both shipped reference configs set dropout_rate=0.0)."""
+    rate, keep = 0.25, 0.75
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=14, ny=12, nan_fraction=0.0, seed=19)
+    cfg = parse_config(_make_raw(mat, dropout=rate))
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(77), spec)
+
+    run_dir = str(tmp_path / "run"); os.makedirs(run_dir)
+    trainer = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+    coords = trainer.data.fidelity_input.astype(np.float64)
+    trues = trainer.data.fidelity_true.astype(np.float64)
+    n_pts, width, n_stack = coords.shape[0], spec.width, spec.n_hidden - 1
+
+    # torch oracle: Linear->Tanh->mask chain for the fidelity forward, plus a
+    # mask-free eval forward for the residual (two forwards, shared weights)
+    np_params = jax.tree.map(np.asarray, params)
+    from tests.oracles.torch_reference import build_torch_mlp as _build
+
+    model = _build(np_params)  # eval-mode chain (residual path)
+    linears = [m for m in model if isinstance(m, torch.nn.Linear)]
+    masks = [_FixedMask() for _ in range(n_stack + 1)]
+
+    def fid_forward(inp):
+        a = masks[0](torch.tanh(linears[0](inp)))
+        for lin, mk in zip(linears[1:-1], masks[1:]):
+            a = mk(torch.tanh(lin(a)))
+        return linears[-1](a)
+
+    x = torch.tensor(coords[:, 0:1], dtype=torch.float64, requires_grad=True)
+    y = torch.tensor(coords[:, 1:2], dtype=torch.float64, requires_grad=True)
+    true_t = torch.tensor(trues, dtype=torch.float64)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=SCHED_STEP,
+                                            gamma=SCHED_GAMMA)
+
+    base_key = jax.random.PRNGKey(cfg.seed + 1)  # driver.py:240
+    torch_totals = []
+    for it in range(ADAM_STEPS):
+        keys = jax.random.split(jax.random.fold_in(base_key, it), n_stack + 1)
+        for mk, key in zip(masks, keys):
+            bern = np.asarray(jax.random.bernoulli(key, keep, (n_pts, width)))
+            mk.mask = torch.tensor(bern.astype(np.float64) / keep)
+        opt.zero_grad()
+        pred_fid = fid_forward(torch.cat([x, y], dim=-1))
+        fid = torch.nn.functional.mse_loss(pred_fid[:, 0:1], true_t[:, 0:1]) + \
+              torch.nn.functional.mse_loss(pred_fid[:, 1:2], true_t[:, 1:2])
+        pred_res = model(torch.cat([x, y], dim=-1))
+        U, V, h = pred_res[:, 0:1], pred_res[:, 1:2], pred_res[:, 2:3]
+        total = fid + loss_continuity_only(x, y, h, U, V)
+        total.backward()
+        opt.step(); sched.step()
+        torch_totals.append(float(total))
+
+    trainer.train_adam()
+    _, _, _, jax_totals = read_log(run_dir)
+    assert len(jax_totals) == ADAM_STEPS
+    np.testing.assert_allclose(np.asarray(jax_totals), np.asarray(torch_totals),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(jax_totals[:10]),
+                               np.asarray(torch_totals[:10]), rtol=3e-4)

@@ -306,3 +306,53 @@ def test_init_from_with_resume_refused(tmp_path, saved_pth):
     rc = main(["train", "--config", str(cfgp), "--log-root", str(tmp_path / "log"),
                "--init-from", path, "--resume", "ckpt.msgpack"])
     assert rc == 1
+
+
+def test_foreign_module_attr_removed_after_load(saved_pth):
+    """When a module named 'dnn' already exists WITHOUT the DNN class, the
+    loader must not leave its stub attribute behind (permanent mutation of a
+    foreign module)."""
+    import types
+
+    _, _, path = saved_pth
+    foreign = types.ModuleType("dnn")
+    sys.modules["dnn"] = foreign
+    try:
+        torch_interop.params_from_torch_file(path, spec=SPEC)
+        assert not hasattr(foreign, "DNN")
+        assert sys.modules["dnn"] is foreign  # module itself untouched
+    finally:
+        sys.modules.pop("dnn", None)
+
+
+def test_inconsistent_output_layer_raises():
+    """w_out whose input side disagrees with the hidden width must fail at
+    conversion time, not later at apply time."""
+    wb = [
+        (np.zeros((8, 2)), np.zeros(8)),    # torch (out,in): in layer 2->8
+        (np.zeros((8, 8)), np.zeros(8)),    # hidden 8->8
+        (np.zeros((3, 5)), np.zeros(3)),    # out claims 5 inputs: mismatch
+    ]
+    with pytest.raises(ValueError, match="inconsistent"):
+        torch_interop.params_from_torch_linears(wb)
+
+
+def test_state_dict_load_avoids_full_unpickling(tmp_path, saved_pth, capsys):
+    """state_dict saves load via weights_only=True (no warning); whole-module
+    pickles fall back with a loud warning naming the file."""
+    import io
+    from contextlib import redirect_stderr
+
+    params, model, path = saved_pth
+    sd_path = str(tmp_path / "sd.pth")
+    torch.save(model.state_dict(), sd_path)
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        torch_interop.params_from_torch_file(sd_path)
+    assert "falling back" not in buf.getvalue()
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        torch_interop.params_from_torch_file(path)
+    assert "falling back" in buf.getvalue() and path in buf.getvalue()
