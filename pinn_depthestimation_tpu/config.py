@@ -240,7 +240,22 @@ class Config:
     dtype: str = "float32"
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
     fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
-    kernel_precision: str = "f32"  # 'f32' (HIGHEST) | 'f32x3' (split-f32) | 'bf16'
+    # 'auto' | 'f32' (HIGHEST) | 'f32x3' (split-f32) | 'bf16'. 'auto' resolves
+    # to f32 in parity mode (bit-honest vs the reference's f32 training) and
+    # to f32x3 in corrected mode (same full-schedule convergence at ~1.7x
+    # throughput; accuracy budget: outputs 1.6e-5, grads ~5e-6 rel — see
+    # MIGRATION.md "Precision tiers").
+    kernel_precision: str = "auto"
+
+    def resolved_kernel_precision(self) -> str:
+        """The effective Pallas precision tier. ``'auto'`` picks f32 under
+        ``parity`` (reference-matching numerics) and f32x3 otherwise (the
+        corrected/synthetic/production path: measured full-schedule
+        convergence matches f32 — 4.0093e-5 vs 4.00e-5 total loss on the
+        flagship — at 1.75x eval throughput)."""
+        if self.kernel_precision != "auto":
+            return self.kernel_precision
+        return "f32" if self.parity else "f32x3"
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``
@@ -362,9 +377,10 @@ def _file_stems(d: Any, names: tuple[str, ...]) -> tuple[str, ...]:
 
 def _as_kernel_precision(value: Any) -> str:
     v = str(value).lower()
-    if v not in ("f32", "f32x3", "bf16"):
+    if v not in ("auto", "f32", "f32x3", "bf16"):
         raise ConfigError(
-            f"kernel_precision must be 'f32', 'f32x3' or 'bf16', got {value!r}"
+            f"kernel_precision must be 'auto', 'f32', 'f32x3' or 'bf16', "
+            f"got {value!r}"
         )
     return v
 
@@ -545,7 +561,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
             else None
         ),
         fused_kernel=_as_fused(raw.get("fused_kernel", "auto")),
-        kernel_precision=_as_kernel_precision(raw.get("kernel_precision", "f32")),
+        kernel_precision=_as_kernel_precision(raw.get("kernel_precision", "auto")),
     )
 
 

@@ -85,7 +85,7 @@ class Predictor:
                 and max(self.spec.width, self.spec.d_in, self.spec.d_out) <= 128
             )
         if use_fused_kernel:
-            kprec = config.kernel_precision
+            kprec = config.resolved_kernel_precision()
 
             def fused(p, x):
                 y, _ = kernels.packed_mlp_fwd_tangents(

@@ -124,7 +124,7 @@ class Trainer:
             residual_chunk_size=config.residual_chunk_size,
             input_min_max=self.data.input_min_max,
             fused_kernel=self.use_fused_kernel,
-            fused_precision=config.kernel_precision,
+            fused_precision=config.resolved_kernel_precision(),
             mesh=mesh,
             fidelity_is_residual=getattr(self.data, "fidelity_is_residual", False),
         )

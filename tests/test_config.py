@@ -138,3 +138,29 @@ def test_example_configs_parse():
         if os.path.basename(path) == "legacy.json":
             assert cfg.numerical_model is not None
             assert cfg.data_residual.snapshots
+
+
+def test_kernel_precision_auto_policy():
+    """'auto' (the default) resolves by parity mode: reference-parity configs
+    train at true f32; corrected-mode configs get the f32x3 tier (same
+    full-schedule convergence, ~1.75x throughput). Explicit tiers win."""
+    from pinn_depthestimation_tpu.config import parse_config
+
+    base = {
+        "layers": {"input_features": 2, "hidden_layers": 2, "hidden_width": 8,
+                   "output_features": 3},
+        "data": {"file": "x.mat",
+                 "inputs": {"x": {}, "y": {}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+    cfg = parse_config(dict(base))
+    assert cfg.kernel_precision == "auto" and cfg.parity is True
+    assert cfg.resolved_kernel_precision() == "f32"
+
+    cfg = parse_config({**base, "parity": False})
+    assert cfg.resolved_kernel_precision() == "f32x3"
+
+    cfg = parse_config({**base, "parity": False, "kernel_precision": "f32"})
+    assert cfg.resolved_kernel_precision() == "f32"
+    cfg = parse_config({**base, "kernel_precision": "bf16"})
+    assert cfg.resolved_kernel_precision() == "bf16"
