@@ -336,3 +336,75 @@ def test_dropout_adam_phase_tracks_reference(tmp_path):
                                rtol=2e-3)
     np.testing.assert_allclose(np.asarray(jax_totals[:10]),
                                np.asarray(torch_totals[:10]), rtol=3e-4)
+
+
+def test_warm_lbfgs_field_level_parity(tmp_path):
+    """Warm-start L-BFGS parity with a FIELD-level criterion: both sides run
+    the same Adam warm phase from identical weights, then a deep L-BFGS with
+    tight tolerances (so the optimizer does substantial work, unlike the
+    reference tolerances which terminate in ~3 evals after a warm start) —
+    and the recovered depth fields must agree at the end, regardless of
+    where the f32 line-search trajectories forked."""
+    warm_steps, lbfgs_iters = 300, 150
+    mat = str(tmp_path / "data.mat")
+    synthetic.make_newmethod_mat(mat, nx=14, ny=12, nan_fraction=0.0, seed=23)
+    raw = _make_raw(mat, adam_steps=warm_steps)
+    raw["lbfgs_optimizer"] = {
+        "max_it": lbfgs_iters, "learning_rate": 1,
+        "max_evaluation": round(lbfgs_iters * 2.5), "history_size": 20,
+        "tolerance_grad": 1e-10, "tolerance_change": 1e-12,
+        "line_search_fn": "strong_wolfe",
+    }
+    cfg = parse_config(raw)
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(55), spec)
+
+    run_dir = str(tmp_path / "run"); os.makedirs(run_dir)
+    trainer = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+    coords = trainer.data.fidelity_input.astype(np.float64)
+    trues = trainer.data.fidelity_true.astype(np.float64)
+
+    # torch side: same warm Adam, then deep L-BFGS
+    model, _, loss_fn, _ = _torch_reference_training(params, coords, trues, warm_steps)
+    opt = torch.optim.LBFGS(
+        model.parameters(), lr=1, max_iter=lbfgs_iters,
+        max_eval=round(lbfgs_iters * 2.5), history_size=20,
+        tolerance_grad=1e-10, tolerance_change=1e-12,
+        line_search_fn="strong_wolfe",
+    )
+    n_evals = [0]
+
+    def closure():
+        opt.zero_grad()
+        total, _, _ = loss_fn()
+        total.backward()
+        n_evals[0] += 1
+        return total
+
+    opt.step(closure)
+    assert n_evals[0] >= 50, (
+        f"torch L-BFGS did only {n_evals[0]} evals — warm-start experiment "
+        "did not exercise substantial optimization"
+    )
+    with torch.no_grad():
+        torch_h = model(torch.tensor(coords)).numpy()[:, 2]
+
+    trainer.train()  # Adam warm phase + L-BFGS phase, same schedule
+    jax_h = np.asarray(trainer.predict(trainer.data.residual_input))[:, 2]
+
+    # Denominator: the TRUE synthetic depth range over this grid (0.16 m for
+    # the 0.02-slope beach) — the physical field scale of the problem. The
+    # PREDICTED range is degenerate at CI-scale training budgets (a few mm:
+    # h structure emerges over tens of thousands of iterations; see
+    # PARITY_LBFGS.md's flat-field discussion), which would make a
+    # range-relative bound vacuous noise-vs-noise.
+    from scipy.io import loadmat
+
+    truth = loadmat(mat)["h"]
+    h_range = float(np.nanmax(truth) - np.nanmin(truth))
+    assert h_range > 0.1  # the scale the criterion is anchored to
+    rmse = float(np.sqrt(np.mean((jax_h - torch_h) ** 2)))
+    # BASELINE.md acceptance criterion at field level: within 1% of range
+    assert rmse <= 0.01 * h_range, (
+        f"h-field RMSE {rmse:.3e} exceeds 1% of truth range {h_range:.3e}"
+    )
