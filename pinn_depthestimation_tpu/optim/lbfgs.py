@@ -25,7 +25,12 @@ Semantics follow ``torch.optim.LBFGS`` (the reference's observable behavior):
   ``c1=1e-4, c2=0.9, max_ls=25``, internal tolerance ``1e-9``;
 * stop conditions, in order: ``max|g| <= tolerance_grad`` |
   ``gtd > -tolerance_change`` | iteration/evaluation budgets |
-  ``max|t*d| <= tolerance_change`` | ``|f - f_prev| < tolerance_change``.
+  ``max|t*d| <= tolerance_change`` | ``|f - f_prev| < tolerance_change``;
+* beyond torch: step/loss/descent stops that fire while ``max|g|`` is still
+  above ``tolerance_grad`` trigger a history-reset restart instead of
+  termination, up to ``LBFGSOptions.max_restarts`` (see its docstring for
+  the measured flagship stall this addresses; set 0 for strict torch
+  termination).
 
 The objective may return auxiliary ``(fidelity, residual)`` losses; every
 evaluation appends ``(fid, res, total)`` to a device-side record buffer so the
@@ -73,6 +78,27 @@ class LBFGSOptions:
     tolerance_grad: float = 1e-7
     tolerance_change: float = 1e-9
     line_search: str = "strong_wolfe"  # 'strong_wolfe' | 'none'
+    # Stall restarts (framework extension beyond torch). In f32 a near-zero
+    # curvature pair (ys ~ 1e-10 -> rho ~ 1e10) can poison the two-loop
+    # direction; the line search then collapses to a zero step and torch
+    # semantics terminate on tolerance_change even though max|g| is far
+    # above tolerance_grad. Measured on the flagship deep run: the stall
+    # froze the optimizer at loss 1.47e-4 / max|g|=3.5e-5 after 258
+    # evaluations, where torch CPU from the SAME warm point (different f32
+    # micro-path, no wedge) continued to 4.4e-5. When a step/loss/descent
+    # stop fires with max|g| still above tolerance_grad, we clear the s/y
+    # history (next direction = -g) and continue, up to ``max_restarts``
+    # times. Set 0 for strict torch termination semantics.
+    max_restarts: int = 8
+    # Cautious curvature update (framework extension beyond torch; set 0 for
+    # torch's absolute ``ys > 1e-10`` rule). A pair is stored only when
+    # ``ys > max(1e-10, curvature_guard * |s| * |y|)`` — i.e. the angle
+    # between s and y is bounded away from 90 degrees. The flagship wedge
+    # above entered through a pair with cos(s, y) ~ 1e-6 (pure f32 gradient
+    # noise posing as curvature); healthy pairs on the same run sit at
+    # cos >= 1e-2. Guards of this Li-Fukushima form preserve the convergence
+    # theory while filtering noise pairs.
+    curvature_guard: float = 1e-4
 
     def resolved_max_eval(self) -> int:
         return self.max_eval if self.max_eval is not None else self.max_iter * 5 // 4
@@ -95,6 +121,7 @@ class LBFGSState(NamedTuple):
     n_iter: jax.Array       # completed outer iterations
     func_evals: jax.Array   # total objective evaluations
     reason: jax.Array       # stop-reason code; RUNNING while active
+    restarts: jax.Array     # stall restarts consumed (see LBFGSOptions)
     records: jax.Array      # (cap, 3) per-eval (fid, res, total)
     rec_count: jax.Array    # valid rows in records
 
@@ -347,7 +374,17 @@ def make_lbfgs_step(evaluate: Callable, options: LBFGSOptions):
         y = state.g - state.prev_g
         s_vec = state.d * state.t
         ys = jnp.dot(y, s_vec)
-        store = (~first) & (ys > 1e-10)
+        ys_floor = jnp.asarray(1e-10, ys.dtype)
+        if options.curvature_guard > 0.0:
+            # cautious update: reject noise pairs with cos(s, y) ~ 0
+            # (see LBFGSOptions.curvature_guard)
+            ys_floor = jnp.maximum(
+                ys_floor,
+                options.curvature_guard
+                * jnp.linalg.norm(s_vec)
+                * jnp.linalg.norm(y),
+            )
+        store = (~first) & (ys > ys_floor)
 
         slot = jnp.where(state.num == m, state.head, (state.head + state.num) % m)
         s_hist = jnp.where(store, state.s_hist.at[slot].set(s_vec), state.s_hist)
@@ -418,12 +455,37 @@ def make_lbfgs_step(evaluate: Callable, options: LBFGSOptions):
         reason = jnp.where((reason == RUNNING) & step_small, CONVERGED_STEP, reason)
         reason = jnp.where((reason == RUNNING) & loss_flat, CONVERGED_LOSS, reason)
 
+        # Stall restart (LBFGSOptions.max_restarts): a step/loss/descent stop
+        # away from a critical point means the direction quality collapsed
+        # (poisoned curvature pair), not convergence — clear the history
+        # (rho = 0 masks every slot; next direction falls out as -g) and
+        # keep running, bounded by the restart budget.
+        stallish = (
+            (reason == CONVERGED_STEP)
+            | (reason == CONVERGED_LOSS)
+            | (reason == NOT_DESCENT)
+        )
+        do_restart = (
+            stallish
+            & (jnp.max(jnp.abs(g_new)) > tol_grad)
+            & (state.restarts < options.max_restarts)
+        )
+        rho = jnp.where(do_restart, jnp.zeros_like(rho), rho)
+        num = jnp.where(do_restart, jnp.zeros_like(num), num)
+        head = jnp.where(do_restart, jnp.zeros_like(head), head)
+        h_diag = jnp.where(do_restart, jnp.ones_like(h_diag), h_diag)
+        reason = jnp.where(do_restart, RUNNING, reason)
+        restarts = state.restarts + do_restart.astype(state.restarts.dtype)
+        # zero the recorded step so the next iteration's s = t*d is exactly 0
+        # and the cross-restart (possibly degenerate) pair is never stored
+        t_new = jnp.where(do_restart, jnp.zeros_like(t_new), t_new)
+
         return state._replace(
             x=x_new, f=f_new, g=g_new, d=d, t=t_new,
             prev_g=prev_g, prev_f=prev_f,
             s_hist=s_hist, y_hist=y_hist, rho=rho, head=head, num=num, h_diag=h_diag,
             n_iter=n_iter, func_evals=func_evals,
-            reason=reason, records=records, rec_count=rec_count,
+            reason=reason, restarts=restarts, records=records, rec_count=rec_count,
         )
 
     return step
@@ -437,7 +499,10 @@ def _make_recording_evaluate(value_and_grad_flat):
         (total, aux), gflat = value_and_grad_flat(x)
         fid, res = aux
         row = jnp.stack([fid, res, total]).astype(records.dtype)
-        records = lax.dynamic_update_slice(records, row[None, :], (rec_count, 0))
+        records = lax.dynamic_update_slice(
+            records, row[None, :],
+            (rec_count, jnp.zeros((), rec_count.dtype)),  # x64-safe index pair
+        )
         return total, gflat, (records, rec_count + 1, func_evals + 1)
 
     return evaluate
@@ -522,7 +587,7 @@ class LBFGSRunner:
                 head=jnp.int32(0), num=jnp.int32(0),
                 h_diag=jnp.ones((), x.dtype),
                 n_iter=jnp.int32(0), func_evals=func_evals,
-                reason=reason,
+                reason=reason, restarts=jnp.int32(0),
                 records=records, rec_count=rec_count,
             )
 
@@ -573,6 +638,9 @@ class LBFGSRunner:
         :meth:`export_state` output (a fresh, empty record buffer is
         attached). Validates the flat-parameter and history shapes against
         this runner's template/options."""
+        raw = dict(raw)
+        # pre-restart-feature checkpoints lack the counter; resume with 0
+        raw.setdefault("restarts", np.int32(0))
         missing = [
             k for k in LBFGSState._fields
             if k not in raw and k not in self._TRANSIENT_FIELDS

@@ -47,9 +47,13 @@ TORCH_OPTS = dict(
     lr=1.0, max_iter=200, max_eval=250, history_size=100,
     tolerance_grad=1e-7, tolerance_change=1e-9, line_search_fn="strong_wolfe",
 )
+# max_restarts=0: these oracle comparisons assert torch's TERMINATION
+# semantics (eval-count bounds); the stall-restart extension intentionally
+# keeps optimizing where torch stops (see its own tests below)
 JAX_OPTS = LBFGSOptions(
     lr=1.0, max_iter=200, max_eval=250, history_size=100,
     tolerance_grad=1e-7, tolerance_change=1e-9, line_search="strong_wolfe",
+    max_restarts=0, curvature_guard=0.0,
 )
 
 
@@ -288,3 +292,94 @@ def test_tiny_record_capacity_clamped_no_livelock():
         s, _ = tiny.run_chunk(s, None)
         assert int(s.func_evals) > prev_evals, "chunk made no progress"
     assert tiny.finished(s)
+
+
+def test_stall_restart_recovers_from_poisoned_history():
+    """A degenerate curvature pair (rho ~ 1e10) collapses the two-loop
+    direction; strict torch semantics then terminate far from any critical
+    point (measured on the flagship: stuck at max|g| 350x tolerance_grad).
+    With stall restarts the history is cleared and optimization continues —
+    the restarted run must land orders of magnitude below the wedged one."""
+    from pinn_depthestimation_tpu.optim import lbfgs as L
+
+    def quad(params, _batch):
+        x = params["x"]
+        return 0.5 * jnp.sum(x * x), (jnp.zeros(()), jnp.zeros(()))
+
+    x0 = {"x": jnp.array([1.0, -2.0, 0.5], jnp.float32)}
+
+    def run(max_restarts):
+        opts = LBFGSOptions(max_iter=100, max_eval=300, history_size=4,
+                            tolerance_grad=1e-7, tolerance_change=1e-9,
+                            max_restarts=max_restarts)
+        runner = LBFGSRunner(loss_fn=quad, params_template=x0, options=opts,
+                             record_capacity=64)
+        state = runner.init(x0, batch=None)
+        # poison slot 0: rho ~ 1e10 with a sign-flipping y so the two-loop
+        # emits a non-descent direction, plus a blown-up H0 scale
+        state = state._replace(
+            s_hist=state.s_hist.at[0].set(
+                jnp.array([1e-5, 1e-5, 1e-5], jnp.float32)),
+            y_hist=state.y_hist.at[0].set(
+                jnp.array([-1e-15, -1e-15, -1e-15], jnp.float32)),
+            rho=state.rho.at[0].set(-1e10),
+            num=jnp.int32(1),
+            h_diag=jnp.asarray(1e10, jnp.float32),
+            n_iter=jnp.int32(1),  # past the first-iteration steepest-descent path
+        )
+        while not runner.finished(state):
+            state, _ = runner.run_chunk(state, None)
+        return state, runner
+
+    wedged, _ = run(0)
+    recovered, runner = run(8)
+    assert int(recovered.restarts) >= 1
+    # the restarted run optimizes well past where strict semantics stop
+    assert float(recovered.f) < max(float(wedged.f) * 1e-2, 1e-8)
+
+
+def test_strict_torch_termination_with_zero_restarts():
+    """max_restarts=0 restores literal torch termination semantics."""
+    from pinn_depthestimation_tpu.optim import lbfgs as L
+
+    def quad(params, _batch):
+        x = params["x"]
+        return 0.5 * jnp.sum(x * x), (jnp.zeros(()), jnp.zeros(()))
+
+    x0 = {"x": jnp.array([1.0, -2.0, 0.5], jnp.float32)}
+    opts = LBFGSOptions(max_iter=100, max_eval=300, history_size=4,
+                        tolerance_grad=1e-7, tolerance_change=1e-9,
+                        max_restarts=0)
+    runner = LBFGSRunner(loss_fn=quad, params_template=x0, options=opts,
+                         record_capacity=64)
+    state = runner.init(x0, batch=None)
+    state = state._replace(
+        s_hist=state.s_hist.at[0].set(jnp.array([1e-5, 0, 0], jnp.float32)),
+        y_hist=state.y_hist.at[0].set(jnp.array([1e-10, 0, 0], jnp.float32)),
+        rho=state.rho.at[0].set(1e10),
+        num=jnp.int32(1),
+        h_diag=jnp.asarray(1e10, jnp.float32),
+        n_iter=jnp.int32(1),
+    )
+    while not runner.finished(state):
+        state, _ = runner.run_chunk(state, None)
+    assert int(state.restarts) == 0
+
+
+def test_restore_state_tolerates_missing_restarts_field():
+    """Checkpoints written before the stall-restart feature resume with a
+    zero restart counter."""
+    def quad(params, _batch):
+        x = params["x"]
+        return 0.5 * jnp.sum(x * x), (jnp.zeros(()), jnp.zeros(()))
+
+    x0 = {"x": jnp.array([1.0, -2.0, 0.5], jnp.float32)}
+    runner = LBFGSRunner(loss_fn=quad, params_template=x0,
+                         options=LBFGSOptions(max_iter=10, history_size=4),
+                         record_capacity=64)
+    state = runner.init(x0, batch=None)
+    raw = runner.export_state(state)
+    assert "restarts" in raw
+    del raw["restarts"]  # simulate a round-2 checkpoint
+    restored = runner.restore_state(raw)
+    assert int(restored.restarts) == 0
