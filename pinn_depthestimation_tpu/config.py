@@ -247,15 +247,22 @@ class Config:
     # MIGRATION.md "Precision tiers").
     kernel_precision: str = "auto"
 
-    def resolved_kernel_precision(self) -> str:
-        """The effective Pallas precision tier. ``'auto'`` picks f32 under
-        ``parity`` (reference-matching numerics) and f32x3 otherwise (the
-        corrected/synthetic/production path: measured full-schedule
-        convergence matches f32 — 4.0093e-5 vs 4.00e-5 total loss on the
-        flagship — at 1.75x eval throughput)."""
+    def resolved_kernel_precision(self, phase: str = "adam") -> str:
+        """The effective Pallas precision tier for a training ``phase``
+        (``'adam'`` | ``'lbfgs'``). ``'auto'`` picks f32 under ``parity``
+        (reference-matching numerics); in corrected mode it picks f32x3 for
+        the Adam phase (measured full-schedule convergence matches f32 —
+        4.0093e-5 vs 4.00e-5 total loss on the flagship — at 1.75x
+        throughput) but TRUE f32 for the L-BFGS phase: deep quasi-Newton
+        convergence is limited by gradient/loss noise, and the f32x3 tier's
+        ~5e-6 relative gradient noise floors the corrected-mode flagship at
+        4.1e-5 where the f32 phase reaches 1.25e-5 (round-3 A/B soak,
+        .soak/default_path_soak_r3.py)."""
         if self.kernel_precision != "auto":
             return self.kernel_precision
-        return "f32" if self.parity else "f32x3"
+        if self.parity:
+            return "f32"
+        return "f32" if phase == "lbfgs" else "f32x3"
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``

@@ -93,11 +93,13 @@ class LBFGSOptions:
     # Cautious curvature update (framework extension beyond torch; set 0 for
     # torch's absolute ``ys > 1e-10`` rule). A pair is stored only when
     # ``ys > max(1e-10, curvature_guard * |s| * |y|)`` — i.e. the angle
-    # between s and y is bounded away from 90 degrees. The flagship wedge
-    # above entered through a pair with cos(s, y) ~ 1e-6 (pure f32 gradient
-    # noise posing as curvature); healthy pairs on the same run sit at
-    # cos >= 1e-2. Guards of this Li-Fukushima form preserve the convergence
-    # theory while filtering noise pairs.
+    # between s and y is bounded away from 90 degrees, the Li-Fukushima
+    # cautious-update form, which filters pure-noise pairs (f32 gradient
+    # noise posing as curvature) while preserving convergence theory. On the
+    # measured flagship stall this guard is not the binding factor (the
+    # marginal pair there has cos(s, y) ~ 0.1 — small vectors, not
+    # orthogonality; see PARITY_LBFGS_WARM.md), but it hardens the history
+    # against the genuinely degenerate pairs long runs do produce.
     curvature_guard: float = 1e-4
 
     def resolved_max_eval(self) -> int:
@@ -475,6 +477,7 @@ def make_lbfgs_step(evaluate: Callable, options: LBFGSOptions):
         head = jnp.where(do_restart, jnp.zeros_like(head), head)
         h_diag = jnp.where(do_restart, jnp.ones_like(h_diag), h_diag)
         reason = jnp.where(do_restart, RUNNING, reason)
+        reason = reason.astype(state.reason.dtype)  # x64-safe (literals weak-type to int64)
         restarts = state.restarts + do_restart.astype(state.restarts.dtype)
         # zero the recorded step so the next iteration's s = t*d is exactly 0
         # and the cross-restart (possibly degenerate) pair is never stored

@@ -118,16 +118,32 @@ class Trainer:
             self.batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
         self.use_fused_kernel = self._decide_fused_kernel()
-        self.loss_fn = build_loss_fn(
-            config,
-            self.spec,
-            residual_chunk_size=config.residual_chunk_size,
-            input_min_max=self.data.input_min_max,
-            fused_kernel=self.use_fused_kernel,
-            fused_precision=config.resolved_kernel_precision(),
-            mesh=mesh,
-            fidelity_is_residual=getattr(self.data, "fidelity_is_residual", False),
-        )
+
+        def _phase_loss_fn(phase):
+            return build_loss_fn(
+                config,
+                self.spec,
+                residual_chunk_size=config.residual_chunk_size,
+                input_min_max=self.data.input_min_max,
+                fused_kernel=self.use_fused_kernel,
+                fused_precision=config.resolved_kernel_precision(phase),
+                mesh=mesh,
+                fidelity_is_residual=getattr(
+                    self.data, "fidelity_is_residual", False
+                ),
+            )
+
+        self.loss_fn = _phase_loss_fn("adam")
+        # The L-BFGS phase may resolve to a different tier ('auto' in
+        # corrected mode: f32x3 Adam for speed, true f32 for the noise-
+        # sensitive quasi-Newton phase — Config.resolved_kernel_precision).
+        if (
+            config.resolved_kernel_precision("lbfgs")
+            == config.resolved_kernel_precision("adam")
+        ):
+            self.loss_fn_lbfgs = self.loss_fn
+        else:
+            self.loss_fn_lbfgs = _phase_loss_fn("lbfgs")
         self.optimizer = make_adam_optimizer(config)
 
         if initial_params is not None:
@@ -261,7 +277,7 @@ class Trainer:
             return
         if self._lbfgs_runner is None:
             self._lbfgs_runner = lbfgs_mod.LBFGSRunner(
-                loss_fn=self.loss_fn,
+                loss_fn=self.loss_fn_lbfgs,
                 params_template=self.state.params,
                 options=lbfgs_mod.LBFGSOptions(
                     lr=cfg.learning_rate,

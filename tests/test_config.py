@@ -159,8 +159,15 @@ def test_kernel_precision_auto_policy():
 
     cfg = parse_config({**base, "parity": False})
     assert cfg.resolved_kernel_precision() == "f32x3"
+    assert cfg.resolved_kernel_precision("adam") == "f32x3"
+    # deep quasi-Newton convergence is noise-limited: the L-BFGS phase gets
+    # true f32 (measured: f32x3 floors the corrected flagship at 4.1e-5
+    # where f32 reaches 1.25e-5)
+    assert cfg.resolved_kernel_precision("lbfgs") == "f32"
 
     cfg = parse_config({**base, "parity": False, "kernel_precision": "f32"})
     assert cfg.resolved_kernel_precision() == "f32"
+    cfg = parse_config({**base, "parity": False, "kernel_precision": "f32x3"})
+    assert cfg.resolved_kernel_precision("lbfgs") == "f32x3"  # explicit wins
     cfg = parse_config({**base, "kernel_precision": "bf16"})
     assert cfg.resolved_kernel_precision() == "bf16"
