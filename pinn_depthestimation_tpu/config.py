@@ -249,20 +249,21 @@ class Config:
 
     def resolved_kernel_precision(self, phase: str = "adam") -> str:
         """The effective Pallas precision tier for a training ``phase``
-        (``'adam'`` | ``'lbfgs'``). ``'auto'`` picks f32 under ``parity``
-        (reference-matching numerics); in corrected mode it picks f32x3 for
-        the Adam phase (measured full-schedule convergence matches f32 —
-        4.0093e-5 vs 4.00e-5 total loss on the flagship — at 1.75x
-        throughput) but TRUE f32 for the L-BFGS phase: deep quasi-Newton
-        convergence is limited by gradient/loss noise, and the f32x3 tier's
-        ~5e-6 relative gradient noise floors the corrected-mode flagship at
-        4.1e-5 where the f32 phase reaches 1.25e-5 (round-3 A/B soak,
-        .soak/default_path_soak_r3.py)."""
+        (``'adam'`` | ``'lbfgs'``). ``'auto'`` resolves to TRUE f32 in both
+        modes: a round-3 corrected-mode 50k A/B soak
+        (.soak/default_path_soak_r3.py) measured the f32x3 tier's ~5e-6
+        relative gradient noise flooring the Adam phase at 4.1e-5 total
+        loss where f32 reaches 1.25e-5 — the round-2 "f32x3 matches
+        full-schedule convergence" result (4.0093e-5 vs 4.00e-5) holds only
+        in parity mode, whose optimum sits ABOVE the f32x3 noise floor.
+        Defaults must not silently cost 3x in final loss; ``f32x3``/
+        ``bf16`` remain explicit opt-ins with their budgets documented in
+        MIGRATION.md. The ``phase`` parameter lets explicit future policies
+        (or callers) differentiate the noise-sensitive phases."""
         if self.kernel_precision != "auto":
             return self.kernel_precision
-        if self.parity:
-            return "f32"
-        return "f32" if phase == "lbfgs" else "f32x3"
+        del phase
+        return "f32"
 
     def output_weight(self, key: str) -> float:
         """Per-output fidelity loss weight ``weight_<key>_loss``

@@ -134,9 +134,10 @@ class Trainer:
             )
 
         self.loss_fn = _phase_loss_fn("adam")
-        # The L-BFGS phase may resolve to a different tier ('auto' in
-        # corrected mode: f32x3 Adam for speed, true f32 for the noise-
-        # sensitive quasi-Newton phase — Config.resolved_kernel_precision).
+        # The phases may resolve to different tiers when a future policy (or
+        # an explicit caller) differentiates them; under the shipped 'auto'
+        # both phases are true f32 (Config.resolved_kernel_precision) and
+        # the loss fn is shared.
         if (
             config.resolved_kernel_precision("lbfgs")
             == config.resolved_kernel_precision("adam")
