@@ -121,6 +121,36 @@ class LBFGSConfig:
 
 
 @dataclass(frozen=True)
+class F64PolishConfig:
+    """Framework extension (no reference counterpart): an optional float64
+    L-BFGS *polish* phase appended after the reference's f32 L-BFGS phase.
+
+    Deep quasi-Newton convergence in f32 is bounded by the ~5e-9 loss-
+    evaluation noise floor: once the available decrements drop below it,
+    strong-Wolfe bracketing cannot certify descent and the optimizer
+    terminates well above the true optimum (full diagnosis in
+    PARITY_LBFGS_WARM.md). The polish phase re-runs the same torch-semantics
+    optimizer in float64, where those decrements are resolvable again.
+
+    ``backend='cpu'`` (default) jits the phase on the host CPU backend —
+    TPUs have no native f64, and this stack's emulated-f64 device loops are
+    unstable (CLAUDE.md) — so the phase trades throughput for a noise floor
+    ~1e9x lower. ``backend='default'`` runs it on the default (TPU) backend
+    for stacks whose f64 emulation is sound. Tolerances default far tighter
+    than the f32 phase's since they gate on f64-resolvable changes.
+    """
+
+    max_it: int = 1000
+    learning_rate: float = 1.0
+    max_evaluation: int = 1250
+    history_size: int = 100
+    tolerance_grad: float = 1e-10
+    tolerance_change: float = 1e-13
+    line_search_fn: str = "strong_wolfe"
+    backend: str = "cpu"  # 'cpu' | 'default'
+
+
+@dataclass(frozen=True)
 class FidelityDataConfig:
     """CMB fidelity block (reference ``config_CMB.json:39-44``)."""
 
@@ -241,11 +271,11 @@ class Config:
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
     fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
     # 'auto' | 'f32' (HIGHEST) | 'f32x3' (split-f32) | 'bf16'. 'auto' resolves
-    # to f32 in parity mode (bit-honest vs the reference's f32 training) and
-    # to f32x3 in corrected mode (same full-schedule convergence at ~1.7x
-    # throughput; accuracy budget: outputs 1.6e-5, grads ~5e-6 rel — see
-    # MIGRATION.md "Precision tiers").
+    # to true f32 in both modes (the f32x3 tier's gradient noise floors
+    # corrected-mode convergence — see resolved_kernel_precision below);
+    # faster tiers are explicit opt-ins (MIGRATION.md "Precision tiers").
     kernel_precision: str = "auto"
+    f64_polish: F64PolishConfig | None = None  # extension; see F64PolishConfig
 
     def resolved_kernel_precision(self, phase: str = "adam") -> str:
         """The effective Pallas precision tier for a training ``phase``
@@ -334,6 +364,55 @@ def _parse_lbfgs(d: Mapping[str, Any]) -> LBFGSConfig:
             d.get("tolerance_change", 1e-9), "lbfgs_optimizer.tolerance_change"
         ),
         line_search_fn=ls,
+    )
+
+
+def _parse_f64_polish(value: Any) -> F64PolishConfig | None:
+    """``"f64_polish"`` accepts ``true`` (all defaults), ``false``/absent
+    (disabled), or a dict overriding any :class:`F64PolishConfig` field."""
+    if value is None or value is False:
+        return None
+    if value is True:
+        return F64PolishConfig()
+    if not isinstance(value, Mapping):
+        raise ConfigError(
+            f"f64_polish must be a boolean or an object, got {value!r}"
+        )
+    unknown = set(value) - {
+        "max_it", "learning_rate", "max_evaluation", "history_size",
+        "tolerance_grad", "tolerance_change", "line_search_fn", "backend",
+    }
+    if unknown:
+        raise ConfigError(f"f64_polish: unknown keys {sorted(unknown)}")
+    ls = str(value.get("line_search_fn", "strong_wolfe") or "none")
+    if ls not in _VALID_LINE_SEARCH:
+        raise ConfigError(
+            f"f64_polish.line_search_fn must be one of {_VALID_LINE_SEARCH}, got {ls!r}"
+        )
+    backend = str(value.get("backend", "cpu"))
+    if backend not in ("cpu", "default"):
+        raise ConfigError(
+            f"f64_polish.backend must be 'cpu' or 'default', got {backend!r}"
+        )
+    max_it = _as_int(value.get("max_it", 1000), "f64_polish.max_it")
+    return F64PolishConfig(
+        max_it=max_it,
+        learning_rate=_as_float(
+            value.get("learning_rate", 1.0), "f64_polish.learning_rate"
+        ),
+        # torch's default eval budget: max_iter * 5 // 4
+        max_evaluation=_as_int(
+            value.get("max_evaluation", max_it * 5 // 4), "f64_polish.max_evaluation"
+        ),
+        history_size=_as_int(value.get("history_size", 100), "f64_polish.history_size"),
+        tolerance_grad=_as_float(
+            value.get("tolerance_grad", 1e-10), "f64_polish.tolerance_grad"
+        ),
+        tolerance_change=_as_float(
+            value.get("tolerance_change", 1e-13), "f64_polish.tolerance_change"
+        ),
+        line_search_fn=ls,
+        backend=backend,
     )
 
 
@@ -570,6 +649,7 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
         ),
         fused_kernel=_as_fused(raw.get("fused_kernel", "auto")),
         kernel_precision=_as_kernel_precision(raw.get("kernel_precision", "auto")),
+        f64_polish=_parse_f64_polish(raw.get("f64_polish")),
     )
 
 

@@ -326,6 +326,103 @@ class Trainer:
             self._record(leftover)
         self.state.params = runner.get_params(state)
 
+    # ------------------------------------------------------------ f64 polish
+
+    def train_f64_polish(self) -> None:
+        """Optional float64 L-BFGS polish phase (framework extension,
+        ``config.F64PolishConfig`` — no reference counterpart).
+
+        Deep f32 quasi-Newton convergence is bounded by the ~5e-9 loss-
+        evaluation noise floor: when every available decrement is sub-noise,
+        strong-Wolfe bracketing collapses to a zero step and the phase
+        terminates far from a critical point (measured anatomy in
+        PARITY_LBFGS_WARM.md). This phase re-runs the same torch-semantics
+        optimizer in f64, where those decrements are resolvable again — on
+        the host CPU backend by default (TPUs have no native f64, and this
+        stack's emulated-f64 device loops fault; ``backend='default'`` opts
+        into on-device f64 where the stack supports it).
+
+        Evaluations stream into ``log.txt``/checkpoints through the same
+        ``_record`` path as the other phases; the final parameters are
+        rounded back to the model's f32 contract. On ``--resume`` past the
+        f32 phases the polish phase restarts fresh from the checkpointed
+        parameters (its s/y history is not serialized) — correct, merely
+        re-warming the history.
+        """
+        cfg = self.config.f64_polish
+        if cfg is None or cfg.max_it <= 0:
+            return
+        device = (
+            jax.devices("cpu")[0] if cfg.backend == "cpu" else jax.devices()[0]
+        )
+
+        def to_f64(tree):
+            return jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a, np.float64), device), tree
+            )
+
+        with jax.enable_x64():
+            params64 = to_f64(self.state.params)
+            # the plain host batch (not the possibly sharded/padded training
+            # batch): the polish phase is single-device by construction
+            batch64 = to_f64(
+                {
+                    "fidelity_input": self.data.fidelity_input,
+                    "fidelity_true": self.data.fidelity_true,
+                    "residual_input": self.data.residual_input,
+                }
+            )
+            # XLA path only: the Pallas kernels are f32/bf16 MXU programs
+            loss_fn = build_loss_fn(
+                self.config,
+                self.spec,
+                residual_chunk_size=self.config.residual_chunk_size,
+                input_min_max=self.data.input_min_max,
+                fidelity_is_residual=getattr(
+                    self.data, "fidelity_is_residual", False
+                ),
+            )
+            runner = lbfgs_mod.LBFGSRunner(
+                loss_fn=loss_fn,
+                params_template=params64,
+                options=lbfgs_mod.LBFGSOptions(
+                    lr=cfg.learning_rate,
+                    max_iter=cfg.max_it,
+                    max_eval=cfg.max_evaluation,
+                    history_size=cfg.history_size,
+                    tolerance_grad=cfg.tolerance_grad,
+                    tolerance_change=cfg.tolerance_change,
+                    line_search=cfg.line_search_fn,
+                ),
+                # f64 evaluations are orders of magnitude slower than the f32
+                # phases' — default to a ~50-eval host re-entry cadence so
+                # log flushes/checkpoints stay regular on long polishes
+                record_capacity=(
+                    self._lbfgs_record_capacity
+                    if self._lbfgs_record_capacity is not None
+                    else 50 + 2 * (lbfgs_mod.MAX_LS + 2)
+                ),
+            )
+
+            def sync_params(state) -> None:
+                # round the live f64 iterate back to the f32 model contract
+                # BEFORE recording: checkpoints/snapshots cut by _record must
+                # see current weights
+                self.state.params = jax.tree.map(
+                    lambda a: jnp.asarray(np.asarray(a, np.float32)),
+                    runner.get_params(state),
+                )
+
+            state = runner.init(params64, batch64)
+            while not runner.finished(state):
+                state, records = runner.run_chunk(state, batch64)
+                sync_params(state)
+                self._record(records)
+            state, leftover = runner.drain_records(state)
+            sync_params(state)
+            if leftover.size:
+                self._record(leftover)
+
     # ------------------------------------------------------------- lifecycle
 
     def train(self) -> None:
@@ -342,11 +439,16 @@ class Trainer:
         self._maybe_snapshot()
         self.train_lbfgs()
         t_lbfgs = time.time()
+        evals_f32 = self.state.iteration
+        self.train_f64_polish()
+        t_polish = time.time()
         self.save("model")  # final save (reference train.py:288)
 
         # Observability the reference lacks (SURVEY.md §5): per-phase wall
         # time and collocation-residual throughput (the BASELINE metric).
-        evals = self.state.iteration - start_evals
+        # throughput over the f32 phases only: the optional f64 polish runs
+        # on a different backend at a deliberately different operating point
+        evals = evals_f32 - start_evals
         points = int(self.data.residual_input.shape[0])
         total_t = max(t_lbfgs - t0, 1e-9)
         self.stats = {
@@ -356,9 +458,13 @@ class Trainer:
             "collocation_points": points,
             "residual_point_evals_per_sec": evals * points / total_t,
         }
+        polish = ""
+        if self.config.f64_polish is not None and self.config.f64_polish.max_it > 0:
+            self.stats["f64_polish_seconds"] = t_polish - t_lbfgs
+            polish = f", f64 polish {self.stats['f64_polish_seconds']:.1f}s"
         print(
             f"Phase times: adam {self.stats['adam_seconds']:.1f}s, "
-            f"lbfgs {self.stats['lbfgs_seconds']:.1f}s | "
+            f"lbfgs {self.stats['lbfgs_seconds']:.1f}s{polish} | "
             f"{evals} loss evals x {points} collocation pts -> "
             f"{self.stats['residual_point_evals_per_sec']:.3e} residual point-evals/s"
         )

@@ -169,3 +169,41 @@ def test_kernel_precision_auto_policy():
     assert cfg.resolved_kernel_precision("lbfgs") == "f32x3"  # explicit wins
     cfg = parse_config({**base, "kernel_precision": "bf16"})
     assert cfg.resolved_kernel_precision() == "bf16"
+
+
+def test_f64_polish_config():
+    """The `f64_polish` extension block: absent/false -> disabled, true ->
+    defaults, dict -> field overrides with torch's max_it*5//4 eval budget,
+    unknown keys and bad backends rejected."""
+    from pinn_depthestimation_tpu.config import ConfigError, parse_config
+
+    base = {
+        "layers": {"input_features": 2, "hidden_layers": 2, "hidden_width": 8,
+                   "output_features": 3},
+        "data": {"file": "x.mat",
+                 "inputs": {"x": {}, "y": {}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    }
+    assert parse_config(dict(base)).f64_polish is None
+    assert parse_config({**base, "f64_polish": False}).f64_polish is None
+
+    p = parse_config({**base, "f64_polish": True}).f64_polish
+    assert p is not None and p.max_it == 1000 and p.backend == "cpu"
+    assert p.tolerance_grad == 1e-10 and p.tolerance_change == 1e-13
+
+    p = parse_config({**base, "f64_polish": {"max_it": 200}}).f64_polish
+    assert p.max_it == 200 and p.max_evaluation == 250  # torch 5//4 rule
+
+    p = parse_config(
+        {**base, "f64_polish": {"max_it": 10, "max_evaluation": 99,
+                                "backend": "default", "history_size": 7}}
+    ).f64_polish
+    assert (p.max_evaluation, p.backend, p.history_size) == (99, "default", 7)
+
+    import pytest as _pytest
+    with _pytest.raises(ConfigError, match="unknown keys"):
+        parse_config({**base, "f64_polish": {"max_iterations": 5}})
+    with _pytest.raises(ConfigError, match="backend"):
+        parse_config({**base, "f64_polish": {"backend": "gpu"}})
+    with _pytest.raises(ConfigError, match="line_search_fn"):
+        parse_config({**base, "f64_polish": {"line_search_fn": "weak"}})

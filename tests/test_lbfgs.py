@@ -383,3 +383,38 @@ def test_restore_state_tolerates_missing_restarts_field():
     del raw["restarts"]  # simulate a round-2 checkpoint
     restored = runner.restore_state(raw)
     assert int(restored.restarts) == 0
+
+
+def test_runner_f64_reaches_f64_precision():
+    """Under x64 the SAME runner converges to f64-resolvable optima — the
+    basis of the trainer's f64 polish phase (config.F64PolishConfig): a loss
+    anchored at 1.0 whose residual term an f32 evaluation literally cannot
+    resolve below ~1e-7 (f32 eps quantization of 1.0 + r)."""
+    import jax
+
+    with jax.enable_x64():
+        c = jnp.asarray([0.3, -1.7, 0.9], jnp.float64)
+
+        def quad(params, _batch):
+            x = params["x"]
+            r = 0.5 * jnp.sum((x - c) ** 2)
+            total = 1.0 + r
+            return total, (jnp.ones((), x.dtype), r)
+
+        x0 = {"x": jnp.zeros(3, jnp.float64)}
+        opts = LBFGSOptions(max_iter=200, max_eval=500, history_size=10,
+                            tolerance_grad=1e-12, tolerance_change=1e-15)
+        runner = LBFGSRunner(loss_fn=quad, params_template=x0, options=opts,
+                             record_capacity=128)
+        state = runner.init(x0, batch=None)
+        while not runner.finished(state):
+            state, _ = runner.run_chunk(state, None)
+        assert state.x.dtype == jnp.float64
+        # the terminal residual sits at f64 resolution: 1.0 + r == 1.0 in
+        # f32 for any r < 6e-8, so landing below 1e-14 proves the whole
+        # state machine (line search, two-loop recursion, tolerances) ran
+        # in f64 end-to-end
+        assert float(state.f) - 1.0 < 1e-14
+        x_fin = np.asarray(runner.get_params(state)["x"])
+        np.testing.assert_allclose(x_fin, np.asarray(c), atol=1e-7)
+    assert jax.config.jax_enable_x64 is False

@@ -435,3 +435,42 @@ def test_multi_point_block_writes_lbfgs_state_once(newmethod_setup, monkeypatch)
         if last[3]:  # mid-L-BFGS block-end point carries the full state
             assert last[2]
     assert any(c[2] for c in cadence), "no mid-phase state checkpoint exercised"
+
+
+def test_f64_polish_phase(newmethod_setup):
+    """The f64 polish phase (framework extension, config.F64PolishConfig)
+    runs after the f32 L-BFGS phase, logs every evaluation through the same
+    log.txt stream, improves the loss beyond the f32 phases' best, and hands
+    back f32 parameters with x64 mode left disabled."""
+    import jax
+    import jax.numpy as jnp
+
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=40, lbfgs_it=10)
+
+    run_a = str(tmp_path / "runA")
+    os.makedirs(run_a)
+    tr_a = Trainer(parse_config(raw), run_dir=run_a, echo_every=0)
+    tr_a.train()
+    _, _, _, totals_a = read_log(run_a)
+
+    raw_b = dict(raw)
+    raw_b["f64_polish"] = {"max_it": 25}
+    run_b = str(tmp_path / "runB")
+    os.makedirs(run_b)
+    tr_b = Trainer(parse_config(raw_b), run_dir=run_b, echo_every=0)
+    tr_b.train()
+    epochs_b, _, _, totals_b = read_log(run_b)
+
+    # identical f32 prefix (the polish phase only appends), then extra rows
+    n = len(totals_a)
+    assert totals_b[:n] == totals_a
+    assert len(totals_b) > n
+    assert epochs_b == list(range(1, len(epochs_b) + 1))
+    # the polish improves on everything the f32 phases reached
+    assert min(totals_b[n:]) < min(totals_a)
+    # model contract: f32 params, x64 left off, phase timing recorded
+    for leaf in jax.tree_util.tree_leaves(tr_b.state.params):
+        assert leaf.dtype == jnp.float32
+    assert "f64_polish_seconds" in tr_b.stats
+    assert jax.config.jax_enable_x64 is False
