@@ -7,7 +7,7 @@ promoted to a flag (SURVEY.md §5 'Config / flag system'):
 
     pinn-tpu train --config config_CMB_h.json [--log-root ../log]
                    [--resume CKPT] [--init-from CKPT|PTH] [--mesh N]
-                   [--run-name NAME]
+                   [--run-name NAME] [--f64-polish MAX_IT]
     pinn-tpu test  --config config_CMB.json [--model CKPT]
     pinn-tpu bench
     pinn-tpu synth --out DIR [--nx 81 --ny 261]
@@ -51,6 +51,17 @@ def cmd_train(args) -> int:
     except ValueError as e:
         print(f"Error building device mesh: {e}")
         return 1
+
+    if args.f64_polish is not None:
+        # flag overrides the config block either way: N>0 enables/rebudgets,
+        # 0 disables a JSON-configured polish
+        from pinn_depthestimation_tpu.config import _parse_f64_polish
+
+        config.f64_polish = (
+            _parse_f64_polish({"max_it": args.f64_polish})
+            if args.f64_polish > 0
+            else None
+        )
 
     if args.init_from and args.resume:
         # --resume restores params wholesale, which would silently discard
@@ -240,6 +251,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warm-start weights from a checkpoint (.msgpack/orbax "
                         "or a reference .pth); training counters start fresh")
     t.add_argument("--mesh", type=int, default=None, help="data-parallel mesh size")
+    t.add_argument("--f64-polish", type=int, default=None, metavar="MAX_IT",
+                   help="append a float64 L-BFGS polish phase of up to MAX_IT "
+                        "iterations (0 disables one configured in the JSON); "
+                        "see README 'Float64 polish phase'")
     t.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     t.set_defaults(fn=cmd_train)

@@ -165,3 +165,26 @@ def test_synth_legacy_flag(tmp_path, capsys):
     assert (snap / "dep.out").exists()
     assert (snap / "eta_00200").exists() and (snap / "u_00202").exists()
     assert (snap / "fidelity.csv").exists()
+
+
+def test_train_f64_polish_flag(config_file, capsys):
+    """--f64-polish N appends the polish phase; --f64-polish 0 disables a
+    JSON-configured one."""
+    config, tmp_path = config_file
+
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "p1",
+               "--f64-polish", "5"])
+    assert rc == 0
+    assert "f64 polish" in capsys.readouterr().out
+
+    # JSON enables it, flag 0 disables
+    raw = json.loads(open(config).read())
+    raw["f64_polish"] = {"max_it": 5}
+    cfg2 = tmp_path / "config2.json"
+    cfg2.write_text(json.dumps(raw))
+    rc = main(["train", "--config", str(cfg2),
+               "--log-root", str(tmp_path / "log"), "--run-name", "p2",
+               "--f64-polish", "0"])
+    assert rc == 0
+    assert "f64 polish" not in capsys.readouterr().out
