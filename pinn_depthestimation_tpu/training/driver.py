@@ -161,6 +161,10 @@ class Trainer:
         self._lbfgs_runner: lbfgs_mod.LBFGSRunner | None = None
         self._live_lbfgs_state = None       # exported into checkpoints
         self._pending_lbfgs_resume = None   # raw dict from a restored ckpt
+        # f64 polish phase equivalents (checkpoint section "lbfgs64")
+        self._lbfgs64_runner: lbfgs_mod.LBFGSRunner | None = None
+        self._live_lbfgs64_state = None
+        self._pending_lbfgs64_resume = None
         self._predict = jax.jit(lambda p, x: mlp_apply(p, x, self.spec))
 
     def _decide_fused_kernel(self) -> bool:
@@ -276,6 +280,15 @@ class Trainer:
         cfg = self.config.lbfgs
         if cfg.max_it <= 0:
             return
+        if (
+            self._pending_lbfgs64_resume is not None
+            and self.config.f64_polish is not None
+            and self.config.f64_polish.max_it > 0
+        ):
+            # resumed from a mid-f64-polish checkpoint: the f32 phase had
+            # already terminated when the polish began — warm-restarting it
+            # here would waste its budget and perturb the exact continuation
+            return
         if self._lbfgs_runner is None:
             self._lbfgs_runner = lbfgs_mod.LBFGSRunner(
                 loss_fn=self.loss_fn_lbfgs,
@@ -344,10 +357,11 @@ class Trainer:
 
         Evaluations stream into ``log.txt``/checkpoints through the same
         ``_record`` path as the other phases; the final parameters are
-        rounded back to the model's f32 contract. On ``--resume`` past the
-        f32 phases the polish phase restarts fresh from the checkpointed
-        parameters (its s/y history is not serialized) — correct, merely
-        re-warming the history.
+        rounded back to the model's f32 contract. Block-end checkpoints cut
+        during the phase embed the full f64 optimizer state (section
+        ``lbfgs64`` — iterate, s/y history, counters), so ``--resume``
+        continues the interrupted polish exactly, without re-running the
+        already-terminated f32 L-BFGS phase.
         """
         cfg = self.config.f64_polish
         if cfg is None or cfg.max_it <= 0:
@@ -413,12 +427,27 @@ class Trainer:
                     runner.get_params(state),
                 )
 
-            state = runner.init(params64, batch64)
+            self._lbfgs64_runner = runner
+            if self._pending_lbfgs64_resume is not None:
+                # exact continuation of an interrupted polish: the f64
+                # iterate/history come from the checkpoint (the f32 params
+                # in it are the rounded shadow), pinned to this phase's
+                # device so the jitted chunks keep running there
+                state = jax.tree.map(
+                    lambda a: jax.device_put(a, device),
+                    runner.restore_state(self._pending_lbfgs64_resume),
+                )
+                self._pending_lbfgs64_resume = None
+            else:
+                state = runner.init(params64, batch64)
+            self._live_lbfgs64_state = state
             while not runner.finished(state):
                 state, records = runner.run_chunk(state, batch64)
                 sync_params(state)
+                self._live_lbfgs64_state = state
                 self._record(records)
             state, leftover = runner.drain_records(state)
+            self._live_lbfgs64_state = state
             sync_params(state)
             if leftover.size:
                 self._record(leftover)
@@ -542,6 +571,17 @@ class Trainer:
             # Finished states are NOT exported: resuming from a completed
             # run's checkpoint keeps the documented warm-restart semantics.
             state["lbfgs"] = self._lbfgs_runner.export_state(live)
+        live64 = self._live_lbfgs64_state
+        if (
+            include_lbfgs
+            and live64 is not None
+            and self._lbfgs64_runner is not None
+            and int(live64.reason) == lbfgs_mod.RUNNING
+        ):
+            # same contract for the f64 polish phase (multi-hour on the CPU
+            # backend at flagship scale — exact resumability matters most
+            # here); the f64 iterate rides alongside its f32-rounded shadow
+            state["lbfgs64"] = self._lbfgs64_runner.export_state(live64)
         return state
 
     def save(self, name: str, include_lbfgs: bool = True) -> str:
@@ -572,8 +612,9 @@ class Trainer:
             opt_state=opt_state,
             iteration=int(restored["iteration"]),
         )
-        # optional section written by mid-L-BFGS checkpoints
+        # optional sections written by mid-phase checkpoints
         self._pending_lbfgs_resume = raw.get("lbfgs")
+        self._pending_lbfgs64_resume = raw.get("lbfgs64")
         # A run resumed past the snapshot point must not rewrite the
         # prediction snapshot (.mat) with later-iteration parameters: the
         # original run already captured it when the counter crossed snap.

@@ -474,3 +474,55 @@ def test_f64_polish_phase(newmethod_setup):
         assert leaf.dtype == jnp.float32
     assert "f64_polish_seconds" in tr_b.stats
     assert jax.config.jax_enable_x64 is False
+
+
+def test_f64_polish_checkpoint_exact_continuation(newmethod_setup):
+    """A checkpoint cut DURING the f64 polish phase carries the full f64
+    optimizer state (section 'lbfgs64'); resuming replays the uninterrupted
+    run's remaining rows bit-for-bit WITHOUT re-running the f32 L-BFGS phase,
+    and lands on identical final parameters."""
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=10, lbfgs_it=5)
+    raw["f64_polish"] = {"max_it": 60}
+    cfg = parse_config(raw)
+
+    saved = {}
+
+    class MidPolishSaver(Trainer):
+        def _record(self, losses):
+            super()._record(losses)
+            if (
+                "path" not in saved
+                and self._live_lbfgs64_state is not None
+                and int(self._live_lbfgs64_state.reason) == 0  # RUNNING
+            ):
+                saved["path"] = self.save("model_midpolish")
+                saved["iteration"] = self.state.iteration
+
+    run_a = str(tmp_path / "full")
+    os.makedirs(run_a)
+    # tiny record buffer -> several host re-entries inside the polish phase
+    tr_a = MidPolishSaver(cfg, run_dir=run_a, echo_every=0,
+                          lbfgs_record_capacity=40)
+    tr_a.train()
+    assert "path" in saved, "no mid-polish chunk boundary hit; enlarge budget"
+    epochs_a, fid_a, _, tot_a = read_log(run_a)
+
+    run_b = str(tmp_path / "resumed")
+    os.makedirs(run_b)
+    tr_b = Trainer(cfg, run_dir=run_b, echo_every=0, lbfgs_record_capacity=40)
+    tr_b.restore(saved["path"])
+    assert tr_b._pending_lbfgs64_resume is not None
+    n_before = saved["iteration"]
+    tr_b.train()
+    epochs_b, fid_b, _, tot_b = read_log(run_b)
+
+    # B logs ONLY the remaining polish rows: the f32 L-BFGS phase must not
+    # have warm-restarted (that would interleave extra rows first)
+    assert epochs_b == epochs_a[n_before:]
+    assert tot_b == tot_a[n_before:]
+    assert fid_b == fid_a[n_before:]
+    for key in tr_a.state.params:
+        np.testing.assert_array_equal(
+            np.asarray(tr_a.state.params[key]), np.asarray(tr_b.state.params[key])
+        )
