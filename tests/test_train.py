@@ -526,3 +526,23 @@ def test_f64_polish_checkpoint_exact_continuation(newmethod_setup):
         np.testing.assert_array_equal(
             np.asarray(tr_a.state.params[key]), np.asarray(tr_b.state.params[key])
         )
+
+
+def test_f64_polish_with_mesh(newmethod_setup):
+    """The polish phase composes with a data-parallel mesh: the f32 phases
+    run sharded, the polish runs single-device f64 from the gathered params
+    (it is host-local by construction) and still improves the loss."""
+    from pinn_depthestimation_tpu import parallel
+
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=30, lbfgs_it=5)
+    raw["f64_polish"] = {"max_it": 15}
+    run_dir = str(tmp_path / "run_mesh")
+    os.makedirs(run_dir)
+    tr = Trainer(parse_config(raw), run_dir=run_dir, echo_every=0,
+                 mesh=parallel.make_mesh(2))
+    tr.train()
+    _, _, _, totals = read_log(run_dir)
+    n_f32 = int(tr.stats["loss_evaluations"])
+    assert len(totals) > n_f32          # polish rows appended
+    assert min(totals[n_f32:]) < min(totals[:n_f32])
