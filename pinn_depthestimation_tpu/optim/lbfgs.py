@@ -676,6 +676,16 @@ class LBFGSRunner:
     def get_params(self, state: LBFGSState) -> Any:
         return self._unravel(state.x)
 
+    @property
+    def n_params(self) -> int:
+        """Flat parameter count of this runner's template."""
+        return self._n
+
+    def params_from_flat(self, x) -> Any:
+        """Pytree view of a flat parameter vector in this runner's layout
+        (the inverse of ``ravel_pytree`` on the template)."""
+        return self._unravel(jnp.asarray(x))
+
     def stop_reason(self, state: LBFGSState) -> str:
         names = {
             RUNNING: "running",

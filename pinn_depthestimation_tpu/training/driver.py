@@ -165,6 +165,7 @@ class Trainer:
         self._lbfgs64_runner: lbfgs_mod.LBFGSRunner | None = None
         self._live_lbfgs64_state = None
         self._pending_lbfgs64_resume = None
+        self._pending_params64 = None  # flat f64 iterate ("params64" section)
         self._predict = jax.jit(lambda p, x: mlp_apply(p, x, self.spec))
 
     def _decide_fused_kernel(self) -> bool:
@@ -439,6 +440,30 @@ class Trainer:
                 )
                 self._pending_lbfgs64_resume = None
             else:
+                pending64 = self._pending_params64
+                self._pending_params64 = None
+                if pending64 is not None:
+                    # a prior polish's exact f64 iterate ("params64"): use it
+                    # instead of the f32-cast params IF the live params are
+                    # still its untouched f32 shadow — re-polishing from the
+                    # rounded shadow would re-pay the ~f32-eps perturbation a
+                    # finished polish already descended through
+                    flat64 = np.asarray(pending64, np.float64).ravel()
+                    from jax.flatten_util import ravel_pytree
+
+                    cur, _ = ravel_pytree(
+                        jax.tree.map(
+                            lambda a: jnp.asarray(np.asarray(a)), self.state.params
+                        )
+                    )
+                    cur = np.asarray(cur, np.float32)
+                    if flat64.shape == cur.shape and np.array_equal(
+                        flat64.astype(np.float32), cur
+                    ):
+                        params64 = jax.tree.map(
+                            lambda a: jax.device_put(a, device),
+                            runner.params_from_flat(flat64),
+                        )
                 state = runner.init(params64, batch64)
             self._live_lbfgs64_state = state
             while not runner.finished(state):
@@ -582,6 +607,13 @@ class Trainer:
             # backend at flagship scale — exact resumability matters most
             # here); the f64 iterate rides alongside its f32-rounded shadow
             state["lbfgs64"] = self._lbfgs64_runner.export_state(live64)
+        if live64 is not None:
+            # the flat f64 iterate itself (~8 B/param) always rides along
+            # once the polish has run — finished states too, so a later run
+            # can extend the polish without round-tripping through the f32
+            # shadow (the s/y history above is the expensive part; this is
+            # not)
+            state["params64"] = np.asarray(live64.x)
         return state
 
     def save(self, name: str, include_lbfgs: bool = True) -> str:
@@ -615,6 +647,7 @@ class Trainer:
         # optional sections written by mid-phase checkpoints
         self._pending_lbfgs_resume = raw.get("lbfgs")
         self._pending_lbfgs64_resume = raw.get("lbfgs64")
+        self._pending_params64 = raw.get("params64")
         # A run resumed past the snapshot point must not rewrite the
         # prediction snapshot (.mat) with later-iteration parameters: the
         # original run already captured it when the counter crossed snap.

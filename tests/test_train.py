@@ -546,3 +546,42 @@ def test_f64_polish_with_mesh(newmethod_setup):
     n_f32 = int(tr.stats["loss_evaluations"])
     assert len(totals) > n_f32          # polish rows appended
     assert min(totals[n_f32:]) < min(totals[:n_f32])
+
+
+def test_f64_polish_extension_resumes_from_f64_iterate(newmethod_setup):
+    """Checkpoints written once the polish has run carry the flat f64
+    iterate ('params64') even after the phase finishes; a later run that
+    extends the polish starts from that exact iterate — its first evaluation
+    equals the prior run's terminal f64 loss — instead of re-paying the
+    f32-rounding perturbation of the shadow params."""
+    import numpy as np
+
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=20, lbfgs_it=0)
+    raw["f64_polish"] = {"max_it": 12}
+    cfg = parse_config(raw)
+
+    run_a = str(tmp_path / "polishA")
+    os.makedirs(run_a)
+    tr_a = Trainer(cfg, run_dir=run_a, echo_every=0)
+    tr_a.train()
+    f_final = float(tr_a._live_lbfgs64_state.f)
+
+    from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
+
+    ckpt = os.path.join(run_a, "model.msgpack")
+    assert "params64" in ckpt_mod.load_raw(ckpt)
+
+    run_b = str(tmp_path / "polishB")
+    os.makedirs(run_b)
+    tr_b = Trainer(cfg, run_dir=run_b, echo_every=0)
+    tr_b.restore(ckpt)
+    assert tr_b._pending_params64 is not None
+    tr_b.train()
+    _, _, _, totals_b = read_log(run_b)
+    # first polish evaluation of B == A's terminal f64 loss (to the log's
+    # %.5e precision through the f32 record buffer) — evidence the seed is
+    # the exact f64 iterate, not its f32-rounded shadow
+    assert totals_b[0] == float("%.5e" % np.float32(f_final))
+    # and the extension keeps descending from there
+    assert min(totals_b) <= totals_b[0]
