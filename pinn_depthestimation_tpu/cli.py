@@ -53,15 +53,19 @@ def cmd_train(args) -> int:
         return 1
 
     if args.f64_polish is not None:
-        # flag overrides the config block either way: N>0 enables/rebudgets,
-        # 0 disables a JSON-configured polish
+        # N>0 re-budgets max_it on top of any JSON-configured block (other
+        # fields — backend, tolerances, history — are preserved; the eval
+        # budget is re-derived from the new max_it); 0 disables the phase
         from pinn_depthestimation_tpu.config import _parse_f64_polish
 
-        config.f64_polish = (
-            _parse_f64_polish({"max_it": args.f64_polish})
-            if args.f64_polish > 0
-            else None
-        )
+        if args.f64_polish > 0:
+            block = config.raw.get("f64_polish")
+            block = dict(block) if isinstance(block, dict) else {}
+            block["max_it"] = args.f64_polish
+            block.pop("max_evaluation", None)
+            config.f64_polish = _parse_f64_polish(block)
+        else:
+            config.f64_polish = None
 
     if args.init_from and args.resume:
         # --resume restores params wholesale, which would silently discard
@@ -253,8 +257,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mesh", type=int, default=None, help="data-parallel mesh size")
     t.add_argument("--f64-polish", type=int, default=None, metavar="MAX_IT",
                    help="append a float64 L-BFGS polish phase of up to MAX_IT "
-                        "iterations (0 disables one configured in the JSON); "
-                        "see README 'Float64 polish phase'")
+                        "iterations; merges onto any JSON-configured "
+                        "f64_polish block (its backend/tolerances/history are "
+                        "kept, the eval budget re-derives from MAX_IT). "
+                        "0 disables the phase. See README 'Float64 polish "
+                        "phase'")
     t.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     t.set_defaults(fn=cmd_train)

@@ -370,6 +370,16 @@ class Trainer:
         device = (
             jax.devices("cpu")[0] if cfg.backend == "cpu" else jax.devices()[0]
         )
+        if device.platform == "tpu":
+            # TPUs have no native f64; emulated-f64 device loops are known to
+            # kernel-fault at least some runtimes (CLAUDE.md). The opt-in
+            # stands for stacks that support it — but say so loudly.
+            print(
+                "Warning: f64_polish backend='default' resolved to a TPU "
+                "device. TPU f64 is software-emulated and the full L-BFGS "
+                "loop is known to fault some TPU runtimes; if this run "
+                "crashes here, use the default backend='cpu'."
+            )
 
         def to_f64(tree):
             return jax.tree.map(
@@ -439,6 +449,10 @@ class Trainer:
                     runner.restore_state(self._pending_lbfgs64_resume),
                 )
                 self._pending_lbfgs64_resume = None
+                # the checkpoint's params64 is this same state's iterate —
+                # consume it too so a later train() call can't seed from a
+                # by-then-outdated vector
+                self._pending_params64 = None
             else:
                 pending64 = self._pending_params64
                 self._pending_params64 = None
@@ -457,7 +471,7 @@ class Trainer:
                         )
                     )
                     cur = np.asarray(cur, np.float32)
-                    if flat64.shape == cur.shape and np.array_equal(
+                    if flat64.shape == (runner.n_params,) and np.array_equal(
                         flat64.astype(np.float32), cur
                     ):
                         params64 = jax.tree.map(

@@ -188,3 +188,39 @@ def test_train_f64_polish_flag(config_file, capsys):
                "--f64-polish", "0"])
     assert rc == 0
     assert "f64 polish" not in capsys.readouterr().out
+
+
+def test_f64_polish_flag_merges_json_fields(config_file, monkeypatch):
+    """--f64-polish N re-budgets max_it but preserves the JSON block's other
+    fields (tolerances, history, backend) and re-derives the eval budget."""
+    import types
+
+    import pinn_depthestimation_tpu.training as training_mod
+
+    config, tmp_path = config_file
+    raw = json.loads(open(config).read())
+    raw["f64_polish"] = {"max_it": 3, "history_size": 7,
+                         "tolerance_grad": 1e-12, "max_evaluation": 4}
+    cfg2 = tmp_path / "config_merge.json"
+    cfg2.write_text(json.dumps(raw))
+
+    captured = {}
+
+    class StubTrainer:
+        def __init__(self, cfg, **kw):
+            captured["cfg"] = cfg
+            self.state = types.SimpleNamespace(iteration=0)
+
+        def train(self):
+            pass
+
+    monkeypatch.setattr(training_mod, "Trainer", StubTrainer)
+    rc = main(["train", "--config", str(cfg2),
+               "--log-root", str(tmp_path / "log"), "--run-name", "merge",
+               "--f64-polish", "40"])
+    assert rc == 0
+    p = captured["cfg"].f64_polish
+    assert p.max_it == 40
+    assert p.max_evaluation == 50      # re-derived from the new max_it
+    assert p.history_size == 7         # JSON fields preserved
+    assert p.tolerance_grad == 1e-12
