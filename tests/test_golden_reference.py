@@ -166,3 +166,25 @@ def test_reference_cmb_script_is_stale_as_documented(golden):
             op.get_min_max({"x": np.zeros(3)}, {"data_test": {}})  # 2-arg call
     finally:
         sys.path.pop(0)
+
+
+def test_f64_polish_reaches_at_least_the_reference_minimum(golden, tmp_path):
+    """The f64 polish phase, appended after the same schedule, descends to at
+    least the executed reference's terminal loss: the reference stops where
+    f32 line-search noise stops it (PARITY_LBFGS_WARM.md), the polish keeps
+    descending in f64 — so the framework's best must not sit above the
+    reference's best (small margin for the forked f32 micro-path)."""
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import Trainer
+    from pinn_depthestimation_tpu.training.logging_utils import read_log
+
+    mat, params, (_, _, ref_totals) = golden
+    raw = _reference_config(mat)
+    raw["f64_polish"] = {"max_it": 25}
+    cfg = parse_config(raw)
+    run_dir = str(tmp_path / "ours_polish")
+    os.makedirs(run_dir)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+    tr.train()
+    _, _, _, totals = read_log(run_dir)
+    assert min(totals) <= min(ref_totals) * 1.02
