@@ -18,7 +18,8 @@ This module accepts those files unchanged and additionally:
 * supports framework extensions under keys the reference never reads:
   ``physics`` (equation name override), ``parity`` (reproduce the reference's
   numerical quirks bit-for-honest vs corrected physics), ``parallel``
-  (device-mesh shape), ``precision`` and ``snapshot_iteration``.
+  (device-mesh shape), ``kernel_precision``, ``f64_polish`` and
+  ``snapshot_iteration``.
 """
 
 from __future__ import annotations
@@ -267,7 +268,6 @@ class Config:
     snapshot_iteration: int | None = None
     perform_optimization: bool = False
     seed: int = 1234
-    dtype: str = "float32"
     residual_chunk_size: int | None = None  # gradient-accumulation chunk (extension)
     fused_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Pallas training kernels)
     # 'auto' | 'f32' (HIGHEST) | 'f32x3' (split-f32) | 'bf16'. 'auto' resolves
@@ -641,7 +641,6 @@ def parse_config(raw: Mapping[str, Any]) -> Config:
         snapshot_iteration=_as_int(snap, "snapshot_iteration") if snap is not None else None,
         perform_optimization=bool(raw.get("perform_optimization", False)),
         seed=_as_int(raw.get("seed", 1234), "seed"),
-        dtype=str(raw.get("precision", raw.get("dtype", "float32"))),
         residual_chunk_size=(
             _as_int(raw["residual_chunk_size"], "residual_chunk_size")
             if "residual_chunk_size" in raw
