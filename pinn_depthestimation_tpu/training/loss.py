@@ -304,10 +304,3 @@ def build_loss_fn(
     return loss_fn
 
 
-def build_predict_fn(config: Config, spec: MLPSpec) -> Callable:
-    """``predict(params, inputs) -> (N, d_out)`` (eval mode, no dropout)."""
-
-    def predict(params, inputs):
-        return mlp_apply(params, inputs, spec)
-
-    return jax.jit(predict)

@@ -64,3 +64,30 @@ def test_row_windowing(funwave_dir):
     assert len(df) == 2 * 4
     # first retained t is row 5 of the series (0.05 s cadence)
     assert df.iloc[0]["t"] == pytest.approx(0.25)
+
+
+def test_reference_presets(tmp_path):
+    """The two preset entry points reproduce the reference prep scripts'
+    exact constants (input_prep_B1d.py / input_prep_B2d.py): station count,
+    row window, grid spacing, default output filename."""
+    rs = np.random.RandomState(1)
+    n_rows = 10_200  # > B1d's row_stop
+    for i in range(1, 21):
+        arr = np.column_stack([
+            np.arange(n_rows) * 0.05,
+            rs.randn(n_rows), rs.randn(n_rows), rs.randn(n_rows),
+        ])
+        np.savetxt(tmp_path / f"sta_{i:04d}", arr, fmt="%.4f")
+    gauges = np.column_stack([rs.randint(1, 11, 20), rs.randint(1, 9, 20)])
+    np.savetxt(tmp_path / "gauges.txt", gauges, fmt="%d")
+    np.savetxt(tmp_path / "dep.out", rs.uniform(0.5, 2.0, (8, 10)), fmt="%.4f")
+
+    df1 = funwave.prepare_beach1d(str(tmp_path))
+    assert os.path.exists(tmp_path / "beach1d_2.csv")      # B1d default name
+    assert len(df1) == 20 * (10_190 - 5_092)               # 20 stations, B1d window
+    assert df1.iloc[0]["x"] == (gauges[0][0] - 1) * 1.0    # unit spacing
+
+    df2 = funwave.prepare_beach2d_irr(str(tmp_path))
+    assert os.path.exists(tmp_path / "beach2d_irr.csv")    # B2d default name
+    assert len(df2) == 12 * (1_001 - 201)                  # 12 stations, B2d window
+    assert df2.iloc[0]["x"] == (gauges[0][0] - 1) * 2.0    # 2 m spacing
