@@ -29,6 +29,38 @@ import numpy as np
 
 REFERENCE = "/root/reference"
 
+# --ref-cache experiment descriptor: every flag that changes the data or the
+# reference trajectory. Stored in the cache and validated at compose time so
+# a framework run can never be compared against a cached reference phase from
+# a different experiment (the mat file is REGENERATED from the CLI flags, so
+# a silent mismatch would produce a garbage comparison, not an error).
+_CACHE_META_FIELDS = (
+    "iters", "lbfgs", "tol_grad", "tol_change",
+    "hidden_layers", "width", "nx", "ny", "nan_fraction",
+)
+
+
+def _cache_meta(args) -> np.ndarray:
+    return np.asarray([float(getattr(args, f)) for f in _CACHE_META_FIELDS])
+
+
+def _check_cache_meta(path: str, z, args) -> None:
+    if "meta" not in z.files:  # cache written by an older parity.py
+        print(f"      WARNING: {path} carries no experiment metadata; "
+              "cannot verify it matches the requested flags", flush=True)
+        return
+    want, got = _cache_meta(args), np.asarray(z["meta"])
+    if got.shape != want.shape or not np.allclose(got, want):
+        detail = ", ".join(
+            f"{f}: cached {g:g} != requested {w:g}"
+            for f, g, w in zip(_CACHE_META_FIELDS, got, want)
+            if not np.isclose(g, w)
+        )
+        raise SystemExit(
+            f"--ref-cache {path} was produced by a different experiment "
+            f"({detail}); rerun the reference phase or fix the flags"
+        )
+
 
 def make_config(mat_path: str, adam_iters: int, lbfgs_iters: int,
                 tol_grad: float = 1e-5, tol_change: float = 1e-7,
@@ -199,6 +231,7 @@ def main(argv=None) -> int:
         print(f"[1/3] reference phase loaded from cache {args.ref_cache}",
               flush=True)
         z = np.load(args.ref_cache)
+        _check_cache_meta(args.ref_cache, z, args)
         ref_totals = z["totals"].tolist()
         ref_h, ref_wall = z["h"], float(z["wall"])
         import jax.numpy as jnp
@@ -217,6 +250,7 @@ def main(argv=None) -> int:
                 totals=np.asarray(ref_totals),
                 h=ref_h,
                 wall=ref_wall,
+                meta=_cache_meta(args),
                 **{f"p_{k}": np.asarray(v) for k, v in params.items()},
             )
             print(f"      cached to {args.ref_cache}", flush=True)

@@ -408,3 +408,31 @@ def test_warm_lbfgs_field_level_parity(tmp_path):
     assert rmse <= 0.01 * h_range, (
         f"h-field RMSE {rmse:.3e} exceeds 1% of truth range {h_range:.3e}"
     )
+
+
+def test_ref_cache_meta_validation(tmp_path, capsys):
+    """--ref-cache composition refuses a cache produced by different
+    experiment flags (the mat is regenerated from the CLI flags, so a silent
+    mismatch would yield a garbage comparison); caches written before the
+    meta field existed only warn."""
+    import argparse
+
+    from pinn_depthestimation_tpu import parity
+
+    flags = dict(iters=100, lbfgs=10, tol_grad=1e-5, tol_change=1e-7,
+                 hidden_layers=3, width=16, nx=16, ny=14, nan_fraction=0.05)
+    args = argparse.Namespace(**flags)
+    path = str(tmp_path / "c.npz")
+    np.savez(path, meta=parity._cache_meta(args))
+    with np.load(path) as z:
+        parity._check_cache_meta(path, z, args)  # matching: no raise
+
+    other = argparse.Namespace(**{**flags, "ny": 261, "nan_fraction": 0.408})
+    with np.load(path) as z, pytest.raises(SystemExit, match="ny.*261"):
+        parity._check_cache_meta(path, z, other)
+
+    legacy = str(tmp_path / "old.npz")
+    np.savez(legacy, totals=np.zeros(3))
+    with np.load(legacy) as z:
+        parity._check_cache_meta(legacy, z, args)
+    assert "no experiment metadata" in capsys.readouterr().out
