@@ -199,7 +199,10 @@ def cmd_parity(args) -> int:
         "--hidden-layers", str(args.hidden_layers), "--width", str(args.width),
         "--nx", str(args.nx), "--ny", str(args.ny),
         "--nan-fraction", str(args.nan_fraction),
+        "--tol-grad", str(args.tol_grad), "--tol-change", str(args.tol_change),
     ]
+    if args.f64_polish:
+        argv += ["--f64-polish", str(args.f64_polish)]
     if args.ref_cache:
         argv += ["--ref-cache", args.ref_cache]
     if args.ref_only:
@@ -303,6 +306,13 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--ny", type=int, default=14, help="grid rows (flagship: 261)")
     pa.add_argument("--nan-fraction", type=float, default=0.05,
                     help="NaN observation fraction (flagship dataset: 0.408)")
+    pa.add_argument("--tol-grad", type=float, default=1e-5,
+                    help="L-BFGS tolerance_grad (reference config value 1e-5; "
+                         "tighten for a deep L-BFGS horizon)")
+    pa.add_argument("--tol-change", type=float, default=1e-7)
+    pa.add_argument("--f64-polish", type=int, default=0, metavar="MAX_IT",
+                    help="append the framework's float64 polish phase after "
+                         "its f32 L-BFGS phase (PARITY_LBFGS_WARM.md)")
     pa.add_argument("--ref-cache", default=None,
                     help="npz caching the torch reference phase across processes")
     pa.add_argument("--ref-only", action="store_true",

@@ -224,3 +224,37 @@ def test_f64_polish_flag_merges_json_fields(config_file, monkeypatch):
     assert p.max_evaluation == 50      # re-derived from the new max_it
     assert p.history_size == 7         # JSON fields preserved
     assert p.tolerance_grad == 1e-12
+
+
+def test_parity_subcommand_forwards_all_flags(monkeypatch):
+    """Every flag the parity module CLI accepts must survive the `pinn-tpu
+    parity` wrapper — PARITY_LBFGS_WARM.md documents invocations with
+    --tol-grad/--tol-change/--f64-polish through the wrapper."""
+    captured = {}
+
+    def fake_main(argv):
+        captured["argv"] = argv
+        return 0
+
+    monkeypatch.setattr("pinn_depthestimation_tpu.parity.main", fake_main)
+    rc = main([
+        "parity", "--iters", "5000", "--lbfgs", "4000",
+        "--tol-grad", "1e-9", "--tol-change", "1e-12",
+        "--hidden-layers", "100", "--width", "20",
+        "--nx", "81", "--ny", "261", "--nan-fraction", "0.408",
+        "--f64-polish", "300", "--ref-cache", "/tmp/c.npz", "--ref-only",
+        "--out", "R.md",
+    ])
+    assert rc == 0
+    argv = captured["argv"]
+
+    def val(flag):
+        return argv[argv.index(flag) + 1]
+
+    assert val("--tol-grad") == "1e-09" and val("--tol-change") == "1e-12"
+    assert val("--f64-polish") == "300"
+    assert val("--ref-cache") == "/tmp/c.npz" and "--ref-only" in argv
+    assert val("--iters") == "5000" and val("--lbfgs") == "4000"
+    assert val("--hidden-layers") == "100" and val("--width") == "20"
+    assert val("--nx") == "81" and val("--ny") == "261"
+    assert val("--nan-fraction") == "0.408" and val("--out") == "R.md"
