@@ -50,12 +50,24 @@ def test_bench_suite_contract(monkeypatch):
                 "value": 5.0, "unit": "u", "vs_baseline": 1.0}
 
     monkeypatch.setattr(benchmarks, "run_residual_bench", fake_bench)
+    monkeypatch.setattr(benchmarks, "run_train_step_bench", lambda **kw: 5.1)
     result = benchmarks.run_bench_suite(n_points=1000, reps=3)
     assert set(result) == {"metric", "value", "unit", "vs_baseline", "extras"}
-    assert set(result["extras"]) == {"f32x3", "bf16", "xla"}
+    assert set(result["extras"]) == {"f32x3", "bf16", "xla", "adam_step_ms"}
+    assert result["extras"]["adam_step_ms"] == 5.1
     json.dumps(result)
     # headline stays the honest f32 tier
     assert "pallas-f32" in result["metric"]
+
+
+def test_run_train_step_bench_contract():
+    """Tiny-shape run of the deployed-Adam-step benchmark (same code path
+    the TPU suite uses at the flagship shape)."""
+    ms = benchmarks.run_train_step_bench(
+        n_iters=3, reps=1, nx=6, ny=8, hidden_layers=2, width=8
+    )
+    assert isinstance(ms, float) and ms > 0
+    json.dumps(ms)
 
 
 def test_bench_suite_single_line(capsys, monkeypatch):
