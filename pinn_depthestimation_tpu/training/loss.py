@@ -161,13 +161,16 @@ def build_loss_fn(
         return lambda x, t: mlp_apply_with_tangents(p, x, t, spec)
 
     def fidelity_forward(p, x, dropout_rng=None):
-        """The separate fidelity-only forward (observation points differ from
-        the collocation points, e.g. the flagship's NaN-masked grid). With the
-        fused kernels on, run it as a zero-tangent fused pass: the XLA
-        101-layer forward+backward round-trips every layer's activations
-        through HBM and measured ~0.3 µs/point on the flagship step — nearly
-        half the step time at 12.5k observation points — while the fused pass
-        keeps the chain in VMEM (fused_kernel already guarantees dropout=0)."""
+        """The separate fidelity-only forward, used when the observation
+        points genuinely differ from the collocation points — the CMB
+        pipeline (fidelity CSV vs residual .mat grid, reference
+        train.py:131-141) and the legacy numerical_model pipeline. (The
+        newmethod flagship never reaches this: its loader certifies
+        fidelity==residual and the residual forward is shared.) With the
+        fused kernels on, run it as a zero-tangent fused pass instead of the
+        unfused XLA forward+backward, which round-trips every layer's
+        activations through HBM (fused_kernel already guarantees
+        dropout=0)."""
         if fused_kernel:
             from pinn_depthestimation_tpu.ops import kernels_vjp
 

@@ -59,6 +59,32 @@ def test_fused_vjp_matches_jax_grad(width, d_in, d_out, layers, kt):
     _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
 
 
+def test_fused_vjp_zero_tangents_matches_jax_grad():
+    """n_tangents=0: the plain fused forward with the custom-VJP backward —
+    the path the loss builder uses for the separate fidelity term (the
+    flagship's NaN-masked observation points differ from the collocation
+    points, training/loss.py::fidelity_forward)."""
+    spec = MLPSpec(sizes=(2,) + (20,) * 6 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(5).uniform(-1, 1, (137, 2)), jnp.float32
+    )
+    target = jnp.asarray(np.random.RandomState(6).normal(size=(137, 3)), jnp.float32)
+
+    def loss_ref(p):
+        from pinn_depthestimation_tpu.models import mlp_apply
+
+        return jnp.mean((mlp_apply(p, coords, spec) - target) ** 2)
+
+    def loss_fused(p):
+        y, dy = kernels_vjp.fused_apply_with_tangents(p, coords, spec, 0, "f32", True)
+        assert dy.shape == (0, 137, 3)
+        return jnp.mean((y - target) ** 2)
+
+    assert float(loss_fused(params)) == pytest.approx(float(loss_ref(params)), rel=1e-5)
+    _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
 def test_fused_vjp_kaiming():
     spec = MLPSpec(sizes=(2, 16, 16, 16, 3), init_type="kaiming")
     params = init_mlp_params(jax.random.PRNGKey(7), spec)
@@ -202,6 +228,85 @@ def test_loss_builder_fused_matches_xla(tmp_path):
     (t2, _), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
     assert float(t2) == pytest.approx(float(t1), rel=1e-5)
     _assert_grads_close(g1, g2, 1e-4)
+
+
+def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path):
+    """Fused == XLA on a CMB-shaped problem, where the observation points
+    (fidelity CSV) genuinely differ from the collocation points (.mat grid):
+    the fused path then runs the SEPARATE zero-tangent fidelity forward
+    (training/loss.py::fidelity_forward) instead of sharing the residual
+    forward. (The newmethod pipeline always shares: fidelity_is_residual,
+    data.py::load_newmethod_training_data.)"""
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.training import build_loss_fn
+    from pinn_depthestimation_tpu.utils import synthetic
+    from pinn_depthestimation_tpu import data as data_mod
+
+    csv = str(tmp_path / "fid.csv")
+    mat = str(tmp_path / "res.mat")
+    synthetic.make_cmb_dataset(csv, mat, nx=15, ny=13, n_csv=77, seed=6,
+                               nan_fraction=0.03)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 3, "hidden_width": 20,
+                   "output_features": 6, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 5, "tolerance_grad": 1e-9,
+                            "tolerance_change": 1e-12, "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1,
+                 "weight_h_loss": 2, "weight_U_loss": 1, "weight_V_loss": 1,
+                 "weight_eta_mean_loss": 1, "weight_Hrms_loss": 1, "weight_k_loss": 1},
+        "data_fidelity": {"file": csv,
+                          "inputs": ["x", "y"],
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "training_points": 60},
+        "data_residual": {"file": mat,
+                          "inputs": {"x": {"requires_grad": ["true"]},
+                                     "y": {"requires_grad": ["true"]}},
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "interval_x": 1, "interval_y": 1},
+        # continuity_only over the 6-head CMB net: well-conditioned in f32,
+        # so fused-vs-XLA gradient agreement is meaningful. (wave_averaged
+        # residual GRADIENTS are intrinsically f32-sensitive here: BOTH f32
+        # paths sit 2.6-4.0% from an f64 oracle at this init — the
+        # radiation-stress sinh/cosh conditioning, SURVEY §5 quirk 1 — so
+        # it cannot distinguish a fused defect from roundoff.)
+        "physics": "continuity_only",
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    td = data_mod.load_training_data(cfg)
+    assert td.fidelity_input.shape[0] != td.residual_input.shape[0]
+    assert not td.fidelity_is_residual
+    batch = {"fidelity_input": jnp.asarray(td.fidelity_input),
+             "fidelity_true": jnp.asarray(td.fidelity_true),
+             "residual_input": jnp.asarray(td.residual_input)}
+
+    loss_xla = build_loss_fn(cfg, spec)
+    loss_fused = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    (t1, (f1, r1)), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params, batch)
+    (t2, (f2, r2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
+    # 1e-4: the fidelity term's packed-lane forward reorders f32 sums vs
+    # mlp_apply, same budget as grads
+    assert float(t2) == pytest.approx(float(t1), rel=1e-4)
+    assert float(f2) == pytest.approx(float(f1), rel=1e-4)
+    assert float(r2) == pytest.approx(float(r1), rel=1e-4)
+    _assert_grads_close(g1, g2, 1e-4)
+
+    # the fidelity term ALONE (the path this test exists for) must be tight
+    # regardless of physics: grads of the packed zero-tangent forward vs
+    # mlp_apply
+    def fid_term(loss):
+        def f(p):
+            return loss(p, batch)[1][0]
+        return f
+
+    _assert_grads_close(
+        jax.grad(fid_term(loss_xla))(params),
+        jax.grad(fid_term(loss_fused))(params),
+        1e-5,
+    )
 
 
 def test_fused_rejects_nonleading_grad_coords(tmp_path):
