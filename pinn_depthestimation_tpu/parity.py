@@ -153,17 +153,21 @@ def reference_initial_params(workdir: str, hidden_layers: int = 3,
         )
     finally:
         sys.path.pop(0)
-    import jax.numpy as jnp
     import torch as _t
 
+    # numpy, deliberately NOT jnp: this runs between the (hours-long)
+    # reference subprocess and the cache write, and a jnp.asarray here means
+    # a dead/wedged TPU tunnel can crash the driver and lose the run (it did,
+    # round 3 — recovered by .soak/recover_ref_25k.py). The framework phase
+    # converts on use; the cache write must stay JAX-free.
     linears = [m for m in model.layers if isinstance(m, _t.nn.Linear)]
     return {
-        "w_in": jnp.asarray(linears[0].weight.detach().numpy().T),
-        "b_in": jnp.asarray(linears[0].bias.detach().numpy()),
-        "w_hidden": jnp.stack([jnp.asarray(l.weight.detach().numpy().T) for l in linears[1:-1]]),
-        "b_hidden": jnp.stack([jnp.asarray(l.bias.detach().numpy()) for l in linears[1:-1]]),
-        "w_out": jnp.asarray(linears[-1].weight.detach().numpy().T),
-        "b_out": jnp.asarray(linears[-1].bias.detach().numpy()),
+        "w_in": linears[0].weight.detach().numpy().T.copy(),
+        "b_in": linears[0].bias.detach().numpy().copy(),
+        "w_hidden": np.stack([l.weight.detach().numpy().T for l in linears[1:-1]]),
+        "b_hidden": np.stack([l.bias.detach().numpy() for l in linears[1:-1]]),
+        "w_out": linears[-1].weight.detach().numpy().T.copy(),
+        "b_out": linears[-1].bias.detach().numpy().copy(),
     }
 
 
