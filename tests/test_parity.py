@@ -436,3 +436,38 @@ def test_ref_cache_meta_validation(tmp_path, capsys):
     with np.load(legacy) as z:
         parity._check_cache_meta(legacy, z, args)
     assert "no experiment metadata" in capsys.readouterr().out
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference mount not available"
+)
+def test_parity_ref_only_then_compose_roundtrip(tmp_path):
+    """End-to-end `parity.main` round trip at toy scale: a --ref-only run
+    executes the actual torch reference and persists the cache (a path that
+    must stay JAX-free — a dead TPU tunnel once crashed the old jnp-based
+    conversion AFTER a 4.5 h reference run, losing it); a second invocation
+    composes the framework side from that cache and writes the report."""
+    from pinn_depthestimation_tpu import parity
+
+    cache = str(tmp_path / "ref.npz")
+    report = str(tmp_path / "report.md")
+    flags = ["--iters", "25", "--lbfgs", "4",
+             "--hidden-layers", "3", "--width", "16",
+             "--nx", "12", "--ny", "10", "--nan-fraction", "0.05",
+             "--ref-cache", cache]
+
+    assert parity.main(flags + ["--ref-only", "--out", report]) == 0
+    assert not os.path.exists(report)  # ref-only stops before composing
+    with np.load(cache) as z:
+        assert {"totals", "h", "wall", "meta"} <= set(z.files)
+        assert any(k.startswith("p_") for k in z.files)
+        assert len(z["totals"]) >= 25
+        # params persist as raw numpy (the JAX-free contract of the
+        # reference phase, parity.reference_initial_params)
+        assert z["p_w_hidden"].shape == (2, 16, 16)
+
+    assert parity.main(flags + ["--out", report]) == 0
+    text = open(report).read()
+    assert "reference phase loaded from cache" not in text  # stdout, not report
+    assert "## Per-iteration total loss" in text
+    assert "## Recovered depth field (h) at end of training" in text
