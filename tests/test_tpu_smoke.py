@@ -74,6 +74,37 @@ def test_vjp_kernel_compiled(tpu):
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-4, err_msg=k)
 
 
+def test_vjp_kernel_zero_tangents_compiled(tpu):
+    """The n_tangents=0 fused pass (separate fidelity forward,
+    training/loss.py::fidelity_forward) compiles under Mosaic and its grads
+    match jax.grad — only interpret-mode-validated until this runs."""
+    import jax, jax.numpy as jnp, numpy as np  # noqa: E401
+
+    from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params, mlp_apply
+    from pinn_depthestimation_tpu.ops import kernels_vjp
+
+    spec = MLPSpec(sizes=(2,) + (20,) * 12 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(2), spec)
+    coords = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (2048, 2)), jnp.float32)
+    target = jnp.asarray(np.random.RandomState(3).normal(size=(2048, 3)), jnp.float32)
+
+    def loss_fused(p):
+        y, _ = kernels_vjp.fused_apply_with_tangents(p, coords, spec, 0, "f32", False)
+        return jnp.mean((y - target) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((mlp_apply(p, coords, spec) - target) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_ref))(params)
+    g2 = jax.jit(jax.grad(loss_fused))(params)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        if a.size == 0:
+            continue
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-4, err_msg=k)
+
+
 def test_end_to_end_training_on_tpu(tpu, tmp_path):
     import numpy as np
 
