@@ -174,11 +174,20 @@ def cmd_test(args) -> int:
 def cmd_bench(args) -> int:
     import json
 
-    from pinn_depthestimation_tpu.benchmarks import run_residual_bench
+    from pinn_depthestimation_tpu import benchmarks
 
-    print(json.dumps(run_residual_bench(
-        n_points=args.points, backend=args.backend, precision=args.precision
-    )))
+    if args.step:
+        # deployed flagship Adam-step time through the shipped Trainer
+        print(json.dumps({"metric": "flagship_adam_step_ms",
+                          "value": benchmarks.run_train_step_bench(),
+                          "unit": "ms/iteration (shipped defaults)"}))
+    elif args.suite:
+        # the driver record: headline + per-tier extras + adam_step_ms
+        print(json.dumps(benchmarks.run_bench_suite(n_points=args.points)))
+    else:
+        print(json.dumps(benchmarks.run_residual_bench(
+            n_points=args.points, backend=args.backend, precision=args.precision
+        )))
     return 0
 
 
@@ -285,6 +294,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--points", type=int, default=10_000_000)
     b.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
     b.add_argument("--precision", choices=["f32", "f32x3", "bf16"], default="f32")
+    b.add_argument("--suite", action="store_true",
+                   help="the full driver record (all tiers + the deployed "
+                        "Adam-step time), same line bench.py prints")
+    b.add_argument("--step", action="store_true",
+                   help="only the deployed flagship Adam-step time (ms/iter)")
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser("video", help="PNG sequence -> AVI (utilities/imgtovid.py)")

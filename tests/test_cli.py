@@ -258,3 +258,31 @@ def test_parity_subcommand_forwards_all_flags(monkeypatch):
     assert val("--hidden-layers") == "100" and val("--width") == "20"
     assert val("--nx") == "81" and val("--ny") == "261"
     assert val("--nan-fraction") == "0.408" and val("--out") == "R.md"
+
+
+def test_bench_step_flag(capsys, monkeypatch):
+    """`pinn-tpu bench --step` prints one JSON line with the deployed
+    Adam-step time (measurement stubbed; the real path is covered by
+    test_benchmarks.py::test_run_train_step_bench_contract)."""
+    from pinn_depthestimation_tpu import benchmarks
+
+    monkeypatch.setattr(benchmarks, "run_train_step_bench", lambda **kw: 5.11)
+    assert main(["bench", "--step"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec == {"metric": "flagship_adam_step_ms", "value": 5.11,
+                   "unit": "ms/iteration (shipped defaults)"}
+
+
+def test_bench_suite_flag(capsys, monkeypatch):
+    """`pinn-tpu bench --suite` prints the driver record line."""
+    from pinn_depthestimation_tpu import benchmarks
+
+    monkeypatch.setattr(
+        benchmarks, "run_bench_suite",
+        lambda **kw: {"metric": "m", "value": 1.0, "unit": "u",
+                      "vs_baseline": 2.0, "extras": {"adam_step_ms": 5.1}},
+    )
+    assert main(["bench", "--suite"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["extras"]["adam_step_ms"] == 5.1
