@@ -29,6 +29,12 @@ from pinn_depthestimation_tpu import physics
 from pinn_depthestimation_tpu.config import Config
 from pinn_depthestimation_tpu.models import MLPSpec, mlp_apply, mlp_apply_with_tangents
 
+# Separate-fidelity forwards below this many points stay on XLA even with
+# the fused kernels on: a zero-tangent kernel launch on a mostly-padding
+# tile costs more than the trivial unfused forward it replaces (the shipped
+# config_CMB observes 12 gauge points). See build_loss_fn.fidelity_forward.
+FUSED_FIDELITY_MIN_POINTS = 4096
+
 
 def resolve_names(config: Config) -> dict:
     """Input/output name lists per pipeline kind."""
@@ -167,11 +173,16 @@ def build_loss_fn(
         train.py:131-141) and the legacy numerical_model pipeline. (The
         newmethod flagship never reaches this: its loader certifies
         fidelity==residual and the residual forward is shared.) With the
-        fused kernels on, run it as a zero-tangent fused pass instead of the
-        unfused XLA forward+backward, which round-trips every layer's
-        activations through HBM (fused_kernel already guarantees
-        dropout=0)."""
-        if fused_kernel:
+        fused kernels on and enough points to fill kernel tiles, run it as
+        a zero-tangent fused pass instead of the unfused XLA
+        forward+backward, which round-trips every layer's activations
+        through HBM (fused_kernel already guarantees dropout=0). Small
+        observation sets — the shipped config_CMB uses 12 gauge points —
+        stay on XLA: a mostly-padding tile launch costs more than the
+        trivial forward it replaces (threshold mirrors the residual
+        fused-auto crossover, ~4k measured on v5e for the 3-stream step;
+        the single-stream crossover is to be re-pinned on hardware)."""
+        if fused_kernel and x.shape[0] >= FUSED_FIDELITY_MIN_POINTS:
             from pinn_depthestimation_tpu.ops import kernels_vjp
 
             y, _ = kernels_vjp.fused_apply_with_tangents(

@@ -230,17 +230,20 @@ def test_loss_builder_fused_matches_xla(tmp_path):
     _assert_grads_close(g1, g2, 1e-4)
 
 
-def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path):
+def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path, monkeypatch):
     """Fused == XLA on a CMB-shaped problem, where the observation points
     (fidelity CSV) genuinely differ from the collocation points (.mat grid):
     the fused path then runs the SEPARATE zero-tangent fidelity forward
     (training/loss.py::fidelity_forward) instead of sharing the residual
     forward. (The newmethod pipeline always shares: fidelity_is_residual,
-    data.py::load_newmethod_training_data.)"""
+    data.py::load_newmethod_training_data.) The size threshold is lowered so
+    this CI-scale problem exercises the fused branch small sets skip."""
     from pinn_depthestimation_tpu.config import parse_config
-    from pinn_depthestimation_tpu.training import build_loss_fn
+    from pinn_depthestimation_tpu.training import build_loss_fn, loss as loss_mod
     from pinn_depthestimation_tpu.utils import synthetic
     from pinn_depthestimation_tpu import data as data_mod
+
+    monkeypatch.setattr(loss_mod, "FUSED_FIDELITY_MIN_POINTS", 1)
 
     csv = str(tmp_path / "fid.csv")
     mat = str(tmp_path / "res.mat")
