@@ -355,6 +355,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from pinn_depthestimation_tpu.utils import relay
+
+    if relay.pin_cpu_if_relay_dead():
+        print(
+            "WARNING: TPU tunnel relay is dead (no listener on its ports); "
+            "pinned the CPU backend to avoid a ~30 min hang. Performance "
+            "will be CPU-bound.",
+            file=sys.stderr,
+        )
     return args.fn(args)
 
 
