@@ -187,17 +187,23 @@ def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
     return headline
 
 
+def dead_relay_record() -> dict:
+    """The one-line record emitted when the TPU tunnel relay is dead (no
+    supervisor restarts it; every device op would hang ~30 min and then fail
+    UNAVAILABLE): an honest reduced-size CPU measurement whose metric tag
+    makes it impossible to mistake for a TPU number. Shared by bench.py and
+    every `pinn-tpu bench` mode so the fallback is identical regardless of
+    entry point."""
+    rec = run_residual_bench(n_points=100_000, backend="xla", reps=3)
+    rec["metric"] += "[cpu-fallback:dead-tpu-relay]"
+    rec["extras"] = {"tpu_relay_dead": True}
+    return rec
+
+
 def main() -> None:
     from pinn_depthestimation_tpu.utils import relay
 
     if relay.pin_cpu_if_relay_dead():
-        # The TPU tunnel relay is dead (no supervisor restarts it; every
-        # device op would hang ~30 min and then fail UNAVAILABLE). Emit an
-        # honest reduced-size CPU record instead of hanging the driver —
-        # the metric tag makes it impossible to mistake for a TPU number.
-        rec = run_residual_bench(n_points=100_000, backend="xla", reps=3)
-        rec["metric"] += "[cpu-fallback:dead-tpu-relay]"
-        rec["extras"] = {"tpu_relay_dead": True}
-        print(json.dumps(rec))
+        print(json.dumps(dead_relay_record()))
         return
     print(json.dumps(run_bench_suite()))

@@ -49,6 +49,8 @@ def cmd_train(args) -> int:
         elif config.parallel.data:
             mesh = parallel.make_mesh(config.parallel.data, config.parallel.model)
     except ValueError as e:
+        if args.debug:
+            raise
         print(f"Error building device mesh: {e}")
         return 1
 
@@ -175,7 +177,15 @@ def cmd_bench(args) -> int:
     import json
 
     from pinn_depthestimation_tpu import benchmarks
+    from pinn_depthestimation_tpu.utils import relay
 
+    if relay.pin_cpu_if_relay_dead():
+        # Same fallback record as bench.py: a 10M-point suite (or the
+        # flagship --step workload) on the 1-core CPU host would take
+        # hours, and an untagged record could be mistaken for a deliberate
+        # XLA-backend measurement in the BENCH history.
+        print(json.dumps(benchmarks.dead_relay_record()))
+        return 0
     if args.step:
         # deployed flagship Adam-step time through the shipped Trainer
         print(json.dumps({"metric": "flagship_adam_step_ms",

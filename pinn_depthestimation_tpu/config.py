@@ -277,10 +277,9 @@ class Config:
     kernel_precision: str = "auto"
     f64_polish: F64PolishConfig | None = None  # extension; see F64PolishConfig
 
-    def resolved_kernel_precision(self, phase: str = "adam") -> str:
-        """The effective Pallas precision tier for a training ``phase``
-        (``'adam'`` | ``'lbfgs'``). ``'auto'`` resolves to TRUE f32 in both
-        modes: a round-3 corrected-mode 50k A/B soak
+    def resolved_kernel_precision(self) -> str:
+        """The effective Pallas precision tier. ``'auto'`` resolves to TRUE
+        f32 for the whole schedule: a round-3 corrected-mode 50k A/B soak
         (.soak/default_path_soak_r3.py) measured the f32x3 tier's ~5e-6
         relative gradient noise flooring the Adam phase at 4.1e-5 total
         loss where f32 reaches 1.25e-5 — the round-2 "f32x3 matches
@@ -288,11 +287,12 @@ class Config:
         in parity mode, whose optimum sits ABOVE the f32x3 noise floor.
         Defaults must not silently cost 3x in final loss; ``f32x3``/
         ``bf16`` remain explicit opt-ins with their budgets documented in
-        MIGRATION.md. The ``phase`` parameter lets explicit future policies
-        (or callers) differentiate the noise-sensitive phases."""
+        MIGRATION.md. (A round-3 per-phase variant — f32x3 Adam + f32
+        L-BFGS — was measured and rejected: L-BFGS does <30 evals under
+        the reference tolerances and cannot recover the floored Adam
+        phase, .soak/default_soak_auto_default.json.)"""
         if self.kernel_precision != "auto":
             return self.kernel_precision
-        del phase
         return "f32"
 
     def output_weight(self, key: str) -> float:

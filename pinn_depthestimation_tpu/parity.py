@@ -206,6 +206,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-only", action="store_true",
                     help="stop after the reference phase (requires --ref-cache)")
     args = ap.parse_args(argv)
+    if args.ref_only and not args.ref_cache:
+        # Without a cache path the (potentially multi-hour) reference run
+        # would complete and then be discarded with the mkdtemp sandbox —
+        # the exact loss mode recover_ref_25k.py existed to undo once.
+        ap.error("--ref-only requires --ref-cache (the reference phase "
+                 "would run for hours and then be thrown away)")
 
     if not os.path.isdir(REFERENCE):
         print(f"reference mount {REFERENCE} not available")

@@ -119,32 +119,18 @@ class Trainer:
 
         self.use_fused_kernel = self._decide_fused_kernel()
 
-        def _phase_loss_fn(phase):
-            return build_loss_fn(
-                config,
-                self.spec,
-                residual_chunk_size=config.residual_chunk_size,
-                input_min_max=self.data.input_min_max,
-                fused_kernel=self.use_fused_kernel,
-                fused_precision=config.resolved_kernel_precision(phase),
-                mesh=mesh,
-                fidelity_is_residual=getattr(
-                    self.data, "fidelity_is_residual", False
-                ),
-            )
-
-        self.loss_fn = _phase_loss_fn("adam")
-        # The phases may resolve to different tiers when a future policy (or
-        # an explicit caller) differentiates them; under the shipped 'auto'
-        # both phases are true f32 (Config.resolved_kernel_precision) and
-        # the loss fn is shared.
-        if (
-            config.resolved_kernel_precision("lbfgs")
-            == config.resolved_kernel_precision("adam")
-        ):
-            self.loss_fn_lbfgs = self.loss_fn
-        else:
-            self.loss_fn_lbfgs = _phase_loss_fn("lbfgs")
+        self.loss_fn = build_loss_fn(
+            config,
+            self.spec,
+            residual_chunk_size=config.residual_chunk_size,
+            input_min_max=self.data.input_min_max,
+            fused_kernel=self.use_fused_kernel,
+            fused_precision=config.resolved_kernel_precision(),
+            mesh=mesh,
+            fidelity_is_residual=getattr(
+                self.data, "fidelity_is_residual", False
+            ),
+        )
         self.optimizer = make_adam_optimizer(config)
 
         if initial_params is not None:
@@ -292,7 +278,7 @@ class Trainer:
             return
         if self._lbfgs_runner is None:
             self._lbfgs_runner = lbfgs_mod.LBFGSRunner(
-                loss_fn=self.loss_fn_lbfgs,
+                loss_fn=self.loss_fn,
                 params_template=self.state.params,
                 options=lbfgs_mod.LBFGSOptions(
                     lr=cfg.learning_rate,
@@ -621,12 +607,13 @@ class Trainer:
             # backend at flagship scale — exact resumability matters most
             # here); the f64 iterate rides alongside its f32-rounded shadow
             state["lbfgs64"] = self._lbfgs64_runner.export_state(live64)
-        if live64 is not None:
-            # the flat f64 iterate itself (~8 B/param) always rides along
-            # once the polish has run — finished states too, so a later run
-            # can extend the polish without round-tripping through the f32
-            # shadow (the s/y history above is the expensive part; this is
-            # not)
+        if include_lbfgs and live64 is not None:
+            # the flat f64 iterate itself (~8 B/param) rides along once the
+            # polish has run — finished states too, so a later run can
+            # extend the polish without round-tripping through the f32
+            # shadow. Gated like the other optimizer sections: mid-block
+            # cadence checkpoints (include_lbfgs=False) would otherwise
+            # embed byte-identical copies of the same iterate.
             state["params64"] = np.asarray(live64.x)
         return state
 

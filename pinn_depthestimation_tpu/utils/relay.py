@@ -78,10 +78,12 @@ def pin_cpu_if_relay_dead(marker: str = RELAY_MARKER) -> bool:
     """Pin the CPU backend iff the tunnel relay is provably dead.
 
     Must be called before any JAX backend initialization (importing jax is
-    fine; creating an array is not). Returns True when the dead-relay state
-    was detected and the CPU pin applied — callers should surface that in
-    their output (e.g. the bench record's metric tag) so a CPU-fallback
-    number is never mistaken for a TPU measurement.
+    fine; creating an array is not). Returns True only when the dead-relay
+    state was detected AND the process is actually on the CPU backend
+    (pinned here, or already initialized as CPU) — callers use the return
+    to tag their output (e.g. the bench record's metric tag) so a
+    CPU-fallback number is never mistaken for a TPU measurement, and that
+    tag must never be attached while ops still target the dead backend.
     """
     if tpu_relay_alive(marker) is not False:
         return False
@@ -89,8 +91,11 @@ def pin_cpu_if_relay_dead(marker: str = RELAY_MARKER) -> bool:
 
     try:
         jax.config.update("jax_platforms", "cpu")
+        return True
     except RuntimeError:
-        # Backend already initialized — too late to pin; the caller is
-        # already past the danger point (or already hung upstream).
-        pass
-    return True
+        # Backend already initialized — the pin can no longer take effect.
+        # Honest answer: True only if the initialized backend is CPU.
+        try:
+            return jax.default_backend() == "cpu"
+        except Exception:  # pragma: no cover - backend init itself failing
+            return False

@@ -147,6 +147,10 @@ def params_from_torch_file(path: str, spec=None) -> dict:
 
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
+    except (OSError, EOFError):
+        # Missing/unreadable/truncated file: not an unpickling-trust issue —
+        # surface the real error instead of retrying the unsafe path on it.
+        raise
     except Exception:
         print(
             f"warning: {path!r} is not a plain state_dict; falling back to "

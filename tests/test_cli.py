@@ -260,12 +260,19 @@ def test_parity_subcommand_forwards_all_flags(monkeypatch):
     assert val("--nan-fraction") == "0.408" and val("--out") == "R.md"
 
 
+def _pin_relay(monkeypatch, dead: bool):
+    from pinn_depthestimation_tpu.utils import relay
+
+    monkeypatch.setattr(relay, "pin_cpu_if_relay_dead", lambda *a, **k: dead)
+
+
 def test_bench_step_flag(capsys, monkeypatch):
     """`pinn-tpu bench --step` prints one JSON line with the deployed
     Adam-step time (measurement stubbed; the real path is covered by
     test_benchmarks.py::test_run_train_step_bench_contract)."""
     from pinn_depthestimation_tpu import benchmarks
 
+    _pin_relay(monkeypatch, dead=False)
     monkeypatch.setattr(benchmarks, "run_train_step_bench", lambda **kw: 5.11)
     assert main(["bench", "--step"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
@@ -278,6 +285,7 @@ def test_bench_suite_flag(capsys, monkeypatch):
     """`pinn-tpu bench --suite` prints the driver record line."""
     from pinn_depthestimation_tpu import benchmarks
 
+    _pin_relay(monkeypatch, dead=False)
     monkeypatch.setattr(
         benchmarks, "run_bench_suite",
         lambda **kw: {"metric": "m", "value": 1.0, "unit": "u",
@@ -286,3 +294,26 @@ def test_bench_suite_flag(capsys, monkeypatch):
     assert main(["bench", "--suite"]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["extras"]["adam_step_ms"] == 5.1
+
+
+def test_bench_dead_relay_fallback_all_modes(capsys, monkeypatch):
+    """With the tunnel relay dead, every `pinn-tpu bench` mode emits the
+    SAME tagged reduced CPU record as bench.py — never the full-size suite
+    on a silently pinned CPU backend, and never an untagged record."""
+    from pinn_depthestimation_tpu import benchmarks
+
+    _pin_relay(monkeypatch, dead=True)
+    monkeypatch.setattr(
+        benchmarks, "dead_relay_record",
+        lambda: {"metric": "m[cpu-fallback:dead-tpu-relay]", "value": 1.0,
+                 "unit": "u", "vs_baseline": 0.001,
+                 "extras": {"tpu_relay_dead": True}},
+    )
+    fail = lambda **kw: (_ for _ in ()).throw(AssertionError("full bench ran"))
+    monkeypatch.setattr(benchmarks, "run_bench_suite", fail)
+    monkeypatch.setattr(benchmarks, "run_residual_bench", fail)
+    monkeypatch.setattr(benchmarks, "run_train_step_bench", fail)
+    for mode in ([], ["--suite"], ["--step"]):
+        assert main(["bench", *mode]) == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["extras"]["tpu_relay_dead"] is True

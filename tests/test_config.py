@@ -160,13 +160,12 @@ def test_kernel_precision_auto_policy():
     assert cfg.resolved_kernel_precision() == "f32"
 
     cfg = parse_config({**base, "parity": False})
-    for phase in ("adam", "lbfgs"):
-        assert cfg.resolved_kernel_precision(phase) == "f32"
+    assert cfg.resolved_kernel_precision() == "f32"  # auto == f32 both modes
 
     cfg = parse_config({**base, "parity": False, "kernel_precision": "f32"})
     assert cfg.resolved_kernel_precision() == "f32"
     cfg = parse_config({**base, "parity": False, "kernel_precision": "f32x3"})
-    assert cfg.resolved_kernel_precision("lbfgs") == "f32x3"  # explicit wins
+    assert cfg.resolved_kernel_precision() == "f32x3"  # explicit wins
     cfg = parse_config({**base, "kernel_precision": "bf16"})
     assert cfg.resolved_kernel_precision() == "bf16"
 

@@ -410,6 +410,17 @@ def test_warm_lbfgs_field_level_parity(tmp_path):
     )
 
 
+def test_ref_only_requires_ref_cache():
+    """--ref-only without --ref-cache must be rejected at argparse time:
+    otherwise a multi-hour reference run completes and is discarded with
+    the mkdtemp sandbox (the loss mode recover_ref_25k.py once undid)."""
+    from pinn_depthestimation_tpu import parity
+
+    with pytest.raises(SystemExit) as ei:
+        parity.main(["--iters", "5", "--ref-only", "--out", "/tmp/x.md"])
+    assert ei.value.code == 2  # argparse usage error, before any work
+
+
 def test_ref_cache_meta_validation(tmp_path, capsys):
     """--ref-cache composition refuses a cache produced by different
     experiment flags (the mat is regenerated from the CLI flags, so a silent

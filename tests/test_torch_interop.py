@@ -76,6 +76,15 @@ def test_state_dict_pth(tmp_path, saved_pth):
     )
 
 
+def test_missing_file_raises_io_error_without_unsafe_retry(tmp_path, capsys):
+    """IO failures (missing/unreadable file) must propagate from the safe
+    weights_only load — not be misread as 'whole-module pickle' and retried
+    through the arbitrary-code-execution path with an alarming warning."""
+    with pytest.raises(FileNotFoundError):
+        torch_interop.params_from_torch_file(str(tmp_path / "typo.pth"))
+    assert "full unpickling" not in capsys.readouterr().err
+
+
 def test_architecture_mismatch_raises(saved_pth):
     _, _, path = saved_pth
     wrong = MLPSpec(sizes=(2, 20, 20, 3))
