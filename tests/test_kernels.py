@@ -23,6 +23,7 @@ def _coord_tangents(coords, k):
     (20, 3, 4, 4),     # navier-stokes shape (t, x, y)
     (64, 2, 3, 3),     # g = 2
     (128, 2, 2, 2),    # g = 1 (no packing headroom)
+    (17, 2, 3, 4),     # odd width: g = 7, 119/128 lanes, non-8-multiple block
 ])
 def test_packed_matches_reference(width, d_in, d_out, layers):
     spec = MLPSpec(sizes=(d_in,) + (width,) * layers + (d_out,), init_type="xavier")

@@ -47,6 +47,7 @@ def _assert_grads_close(g_ref, g_fused, rtol):
     (10, 2, 6, 4, 2),    # CMB shape
     (20, 3, 4, 6, 3),    # navier-stokes: 3 tangents
     (64, 2, 3, 3, 2),    # g = 2
+    (17, 2, 3, 4, 2),    # odd width: aligned stride 24 != width, g = 5
 ])
 def test_fused_vjp_matches_jax_grad(width, d_in, d_out, layers, kt):
     spec = MLPSpec(sizes=(d_in,) + (width,) * layers + (d_out,), init_type="xavier")
