@@ -30,10 +30,15 @@ from pinn_depthestimation_tpu.config import Config
 from pinn_depthestimation_tpu.models import MLPSpec, mlp_apply, mlp_apply_with_tangents
 
 # Separate-fidelity forwards below this many points stay on XLA even with
-# the fused kernels on: a zero-tangent kernel launch on a mostly-padding
-# tile costs more than the trivial unfused forward it replaces (the shipped
-# config_CMB observes 12 gauge points). See build_loss_fn.fidelity_forward.
-FUSED_FIDELITY_MIN_POINTS = 4096
+# the fused kernels on. Hardware A/B (v5e, .soak/fused_fidelity_ab.py): the
+# zero-tangent fused pass is 0.83-0.93x XLA at EVERY size swept (512-65,536
+# observations, both the flagship 101-layer and the reference CMB 11-layer
+# shapes) — a single-stream forward has no tangent streams to fuse, so XLA's
+# own fusion already wins on speed. The fused path is kept as the
+# O(1)-activation-memory escape hatch: above ~1M observation points the XLA
+# forward+backward's saved activations (n*width*layers*4B ~ 8 GB at 1M for
+# the flagship depth) start to crowd HBM. See build_loss_fn.fidelity_forward.
+FUSED_FIDELITY_MIN_POINTS = 1 << 20
 
 
 def resolve_names(config: Config) -> dict:
@@ -172,16 +177,14 @@ def build_loss_fn(
         pipeline (fidelity CSV vs residual .mat grid, reference
         train.py:131-141) and the legacy numerical_model pipeline. (The
         newmethod flagship never reaches this: its loader certifies
-        fidelity==residual and the residual forward is shared.) With the
-        fused kernels on and enough points to fill kernel tiles, run it as
-        a zero-tangent fused pass instead of the unfused XLA
-        forward+backward, which round-trips every layer's activations
-        through HBM (fused_kernel already guarantees dropout=0). Small
-        observation sets — the shipped config_CMB uses 12 gauge points —
-        stay on XLA: a mostly-padding tile launch costs more than the
-        trivial forward it replaces (threshold mirrors the residual
-        fused-auto crossover, ~4k measured on v5e for the 3-stream step;
-        the single-stream crossover is to be re-pinned on hardware)."""
+        fidelity==residual and the residual forward is shared.) Stays on
+        XLA up to FUSED_FIDELITY_MIN_POINTS: the hardware A/B showed the
+        zero-tangent fused pass loses to XLA at every size up to 65,536
+        observations (no tangent streams to fuse — see the constant's
+        comment), so the fused form is only the O(1)-activation-memory
+        path for observation sets large enough that XLA's saved
+        activations would crowd HBM (fused_kernel already guarantees
+        dropout=0)."""
         if fused_kernel and x.shape[0] >= FUSED_FIDELITY_MIN_POINTS:
             from pinn_depthestimation_tpu.ops import kernels_vjp
 
