@@ -69,6 +69,18 @@ DEFAULT_ROWS = 1024
 _DEFAULT_ROWS_BY_PRECISION = {"f32": 1024, "f32x3": 2048, "bf16": 1536}
 
 
+def auto_rows_per_tile(n_rows: int, default: int) -> int:
+    """Tile height minimizing end-of-batch padding: split ``n_rows`` evenly
+    into ``ceil(n_rows / default)`` tiles, rounded up to the 8-sublane
+    granule. The TM sweeps are flat around the tuned defaults (ROOFLINE.md),
+    so trimming the last-tile waste dominates any tile-size effect: at the
+    flagship 12,516 points the fixed defaults padded the batch 1.47x (f32,
+    TM=1024) and 1.96x (f32x3, TM=2048); even tiles pad <=0.6%."""
+    k = max(1, -(-n_rows // default))
+    rows = -(-n_rows // k)
+    return max(8, min(default, -(-rows // 8) * 8))
+
+
 def pallas_supported() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -330,7 +342,10 @@ def packed_mlp_fwd_tangents_raw(
             f"2 tangents, got d_out={spec.d_out}, n_tangents={n_tangents}"
         )
     if not rows_per_tile:
-        rows_per_tile = _DEFAULT_ROWS_BY_PRECISION[precision]
+        n_rows = -(-coords.shape[0] // packing_factor(spec))
+        rows_per_tile = auto_rows_per_tile(
+            n_rows, _DEFAULT_ROWS_BY_PRECISION[precision]
+        )
     three_pass = precision == "f32x3"
     dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
     passes = 2 if three_pass else 1

@@ -66,6 +66,7 @@ from pinn_depthestimation_tpu.ops.kernels import (
     _split_f32,
     _split_passes,
     LANES,
+    auto_rows_per_tile,
     packed_mlp_fwd_tangents,
 )
 
@@ -431,7 +432,12 @@ def packed_mlp_bwd(
     passes = 2 if three_pass else 1
     packed = pack_params_strided(params, spec, dtype=dtype, passes=passes)
     s, g = packed["s"], packed["g"]
-    tm = rows_per_tile or BWD_ROWS
+    # even tiles minimize last-tile padding (see kernels.auto_rows_per_tile);
+    # at BWD_ROWS=256 / G=5 the flagship pad was only 2.2%, but small batches
+    # (a few hundred CMB gauge points) padded up to 1280 points
+    tm = rows_per_tile or auto_rows_per_tile(
+        -(-coords.shape[0] // g), BWD_ROWS
+    )
     ckpt = ckpt_every or (CKPT_EVERY_F32X3 if three_pass else CKPT_EVERY)
     unroll = SEG_UNROLL_DEFAULT if seg_unroll < 0 else bool(seg_unroll)
     w = spec.width

@@ -62,6 +62,45 @@ def test_packing_factor():
         kernels.packing_factor(MLPSpec(sizes=(2, 200, 3)))
 
 
+def test_auto_rows_per_tile():
+    """Even tiles, 8-row granule, capped at the tier default (VMEM bound)."""
+    # flagship f32: 12,516 pts / g=6 -> 2086 rows; 3 tiles of 696 (0.1% pad)
+    assert kernels.auto_rows_per_tile(2086, 1024) == 696
+    # flagship f32x3 (default 2048): 2 tiles of 1048, not one padded 2048
+    assert kernels.auto_rows_per_tile(2086, 2048) == 1048
+    # large batches keep the tuned default exactly
+    assert kernels.auto_rows_per_tile(10_000_000 // 6, 1024) == 1024
+    # single small tile rounds up to the sublane granule, floor 8
+    assert kernels.auto_rows_per_tile(3, 1024) == 8
+    assert kernels.auto_rows_per_tile(27, 256) == 32
+    # never exceeds the default even when n_rows is a hair above a multiple
+    for n_rows in (1025, 2049, 4097):
+        assert kernels.auto_rows_per_tile(n_rows, 1024) <= 1024
+    # and always covers: k tiles of the returned size hold all rows
+    for n_rows in (1, 8, 531, 1024, 1025, 2086, 12345):
+        rpt = kernels.auto_rows_per_tile(n_rows, 1024)
+        k = -(-n_rows // 1024)
+        assert k * rpt >= n_rows and rpt % 8 == 0
+
+
+def test_auto_tiling_matches_explicit():
+    """Auto-tiled outputs equal the explicitly-tiled ones (padding rows are
+    inert) at an n that exercises an uneven last tile."""
+    spec = MLPSpec(sizes=(2, 20, 20, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(3), spec)
+    coords = jnp.asarray(
+        np.random.RandomState(2).uniform(-1, 1, (531, 2)), jnp.float32
+    )
+    y_auto, dy_auto = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, interpret=True
+    )
+    y_exp, dy_exp = kernels.packed_mlp_fwd_tangents(
+        params, coords, spec, 2, rows_per_tile=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_exp))
+    np.testing.assert_array_equal(np.asarray(dy_auto), np.asarray(dy_exp))
+
+
 def test_block_diag_structure():
     w = jnp.arange(6.0).reshape(2, 3)
     bd = np.asarray(kernels._block_diag(w, 3, jnp.float32))
