@@ -13,11 +13,21 @@ Backward-pass design:
   d_in, d_out)/8)*8`` lanes (e.g. 24 for width 20 -> G = 5 points/row).
   8-aligned block offsets let the kernel extract block-diagonal weight
   gradients with cheap row slices + lane rolls.
-* **Segmented recomputation.** Nothing is saved from the forward pass except
-  the inputs. The backward kernel replays the chain, checkpointing the packed
-  state every ``CKPT_EVERY`` layers into VMEM, then walks segments in reverse,
-  rebuilding per-layer states into a small segment buffer — live memory is
-  O(L/K + K) tiles instead of O(L).
+* **Two state-residency strategies** (``impl=``, per-precision tuned
+  default):
+
+  - ``'rebuild'`` — segmented recomputation: nothing is saved from the
+    forward pass except the inputs. The backward kernel replays the chain,
+    checkpointing the packed state every ``CKPT_EVERY`` layers into VMEM,
+    then walks segments in reverse, rebuilding per-layer states into a small
+    segment buffer — live memory is O(L/K + K) tiles instead of O(L), zero
+    HBM activation traffic.
+  - ``'stream'`` — HBM state streaming: the replay phase streams EVERY layer
+    state to an HBM buffer through a small VMEM ring with async DMA; the
+    reverse walk streams them back with a prefetch ring. No per-segment
+    rebuild (3·L+4 dots/tile instead of 4·L+4) and O(ring) VMEM, at the cost
+    of 2×L state tiles of HBM traffic. Wins for the expensive-dot tiers
+    (f32/f32x3) where recompute dots dominate DMA; loses for bf16.
 * **In-kernel gradient compaction.** The per-layer packed weight gradient is
   a (128, 128) matmul result whose G diagonal SxS blocks all correspond to
   the *same* unpacked weight; the kernel folds them immediately
@@ -78,6 +88,13 @@ CKPT_EVERY_F32X3 = 12  # the 3-pass tier recomputes with cheap bf16 matmuls, so
                        # sparser checkpoints win: 43.3 ms vs 44.8 at ckpt=8
                        # (100k pts x 101 layers, rows=256; rows>=384 OOMs VMEM)
 SEG_UNROLL_DEFAULT = False
+# impl='auto' resolution per precision tier, from the flagship hardware A/B
+# (.soak/bwd_stream_ab.py, v5e, 12,516 pts x 101 layers): stream/rebuild =
+# 1.30x f32 (tm 640), 1.16x f32x3 (tm 512); bf16 0.90x (cheap single-pass
+# recompute beats the f32-state DMA) so bf16 stays on rebuild.
+BWD_IMPL_DEFAULT = {"f32": "stream", "f32x3": "stream", "bf16": "rebuild"}
+STREAM_ROWS = {"f32": 640, "f32x3": 512, "bf16": 512}  # stream tile heights
+RING_SLOTS = 4      # VMEM staging ring depth (prefetch distance RING_SLOTS - 1)
 
 
 def aligned_stride(spec: MLPSpec) -> int:
@@ -179,22 +196,15 @@ def _roll_sum(vec_2d, g: int, s: int):
     return acc
 
 
-def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: int,
-                     dot_precision, tm: int, ckpt_every: int, seg_unroll: bool,
-                     three_pass: bool = False):
-    """Build the backward kernel body (shapes static via closure).
-
-    ``seg_unroll``: statically unroll the per-segment loops (<= ``ckpt_every``
-    iterations) so layer indices are constants and Mosaic can schedule across
-    layer boundaries. The long replay loop always stays rolled — fully
-    unrolling it blew the 16 MB scoped-VMEM budget (measured 24.9 MB).
-    """
+def _bwd_math(spec: MLPSpec, n_tangents: int, dot_precision, tm: int,
+              three_pass: bool):
+    """Shared math closures for the backward kernel bodies: activation
+    family, precision-tiered contractions, and the stacked-state splitter.
+    Returned as a dict so both kernel builders (segmented-rebuild and
+    HBM-streaming) use identical arithmetic."""
     kt = n_tangents
     init_type = spec.init_type
-    CKPT_EVERY = ckpt_every
-    n_seg = -(-n_stack // CKPT_EVERY) if n_stack else 0
     f32 = jnp.float32
-    unroll = seg_unroll
 
     def act(z):
         return jnp.tanh(z) if init_type == "xavier" else jnp.where(z >= 0, z, 0.01 * z)
@@ -250,6 +260,28 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
 
     def split(stacked):
         return stacked[:tm], [stacked[(1 + k) * tm : (2 + k) * tm] for k in range(kt)]
+
+    return dict(act=act, dact_from=dact_from, ddact_times=ddact_times,
+                mm=mm, mm_t=mm_t, mm_tn=mm_tn, split=split)
+
+
+def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: int,
+                     dot_precision, tm: int, ckpt_every: int, seg_unroll: bool,
+                     three_pass: bool = False):
+    """Build the backward kernel body (shapes static via closure).
+
+    ``seg_unroll``: statically unroll the per-segment loops (<= ``ckpt_every``
+    iterations) so layer indices are constants and Mosaic can schedule across
+    layer boundaries. The long replay loop always stays rolled — fully
+    unrolling it blew the 16 MB scoped-VMEM budget (measured 24.9 MB).
+    """
+    kt = n_tangents
+    CKPT_EVERY = ckpt_every
+    n_seg = -(-n_stack // CKPT_EVERY) if n_stack else 0
+    unroll = seg_unroll
+    math = _bwd_math(spec, n_tangents, dot_precision, tm, three_pass)
+    act, dact_from, ddact_times = math["act"], math["dact_from"], math["ddact_times"]
+    mm, mm_t, mm_tn, split = math["mm"], math["mm_t"], math["mm_tn"], math["split"]
 
     def kernel(
         x_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, t_rows_ref,
@@ -398,11 +430,194 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
     return kernel
 
 
+def _make_bwd_kernel_stream(spec: MLPSpec, n_stack: int, n_tangents: int,
+                            g: int, s: int, dot_precision, tm: int,
+                            ring_slots: int, three_pass: bool = False):
+    """Backward kernel body, HBM-streaming variant.
+
+    Instead of VMEM-resident checkpoints + per-segment recomputation, the
+    replay phase streams EVERY layer state to an HBM buffer (``states_ref``,
+    an output ref in ``MemorySpace.HBM`` — Mosaic rejects HBM *scratch*)
+    through a small VMEM staging ring with async DMA; the backward walk then
+    streams states back in reverse with a prefetch ring. This removes the
+    per-segment rebuild entirely (dots/tile: 4·L+4 → 3·L+4) and shrinks the
+    VMEM state footprint from O(L/K + K) tiles to O(ring) tiles, which is
+    what lets ``rows_per_tile`` grow past the rebuild kernel's 256 — the
+    binding constraint is MXU issue rate on the small-dot chain
+    (ROOFLINE.md), so fewer/taller dots are the win.
+
+    Hazard accounting: ring slot for state ``j`` is ``j % R`` with prefetch
+    distance ``R - 1`` (the reverse-walk prefetch targets ``j - (R-1)``), so
+    a DMA never lands in a slot loaded in the same iteration — the slot it
+    reuses was consumed one full iteration earlier. The write phase waits on
+    slot ``j % R``'s previous DMA before restoring into it.
+    """
+    kt = n_tangents
+    R = ring_slots
+    n_states = n_stack + 1  # state 0 = after input layer; j+1 = after w_h[j]
+    pdist = R - 1
+    math = _bwd_math(spec, n_tangents, dot_precision, tm, three_pass)
+    act, dact_from, ddact_times = math["act"], math["dact_from"], math["ddact_times"]
+    mm, mm_t, mm_tn, split = math["mm"], math["mm_t"], math["mm_tn"], math["split"]
+
+    def kernel(
+        x_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, t_rows_ref,
+        ybar_ref, *rest,
+    ):
+        tbar_refs = rest[:kt]
+        (dw_in_ref, db_in_ref, dw_h_ref, db_h_ref, dw_out_ref, db_out_ref,
+         states_ref) = rest[kt : kt + 7]
+        ring, sem_w, sem_r = rest[kt + 7 :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            dw_in_ref[:] = jnp.zeros_like(dw_in_ref)
+            db_in_ref[:] = jnp.zeros_like(db_in_ref)
+            dw_h_ref[:] = jnp.zeros_like(dw_h_ref)
+            db_h_ref[:] = jnp.zeros_like(db_h_ref)
+            dw_out_ref[:] = jnp.zeros_like(dw_out_ref)
+            db_out_ref[:] = jnp.zeros_like(db_out_ref)
+
+        x = x_ref[:]
+
+        def layer_forward(c_state, j):
+            a, us = split(c_state)
+            d = dact_from(a)
+            streams = jnp.concatenate([a] + [u * d for u in us], axis=0)
+            zs = mm(streams, w_h_ref[j])
+            z_a, z_us = split(zs)
+            na = act(z_a + b_h_ref[pl.ds(j, 1), :])
+            return jnp.concatenate([na] + z_us, axis=0)
+
+        def put_state(j, st):
+            """Stage state j and start its DMA to HBM; recycle slot j-R."""
+            slot = jax.lax.rem(j, R)
+
+            @pl.when(j >= R)
+            def _():
+                pltpu.make_async_copy(
+                    ring.at[slot], states_ref.at[j - R], sem_w.at[slot]
+                ).wait()
+
+            ring[slot] = st
+            pltpu.make_async_copy(
+                ring.at[slot], states_ref.at[j], sem_w.at[slot]
+            ).start()
+
+        # ---- phase A: input layer + replay, streaming every state out
+        z0 = mm(x, w_in_ref[:]) + b_in_ref[:]
+        a0 = act(z0)
+        seeds = [
+            jnp.broadcast_to(t_rows_ref[c : c + 1, :], (tm, LANES)) for c in range(kt)
+        ]
+        c_state = jnp.concatenate([a0] + seeds, axis=0)
+        put_state(0, c_state)
+
+        def replay(j, st):
+            st = layer_forward(st, j)
+            put_state(j + 1, st)
+            return st
+
+        c_state = jax.lax.fori_loop(0, n_stack, replay, c_state)
+
+        def drain(i, _):
+            j = n_states - 1 - i
+            slot = jax.lax.rem(j, R)
+            pltpu.make_async_copy(
+                ring.at[slot], states_ref.at[j], sem_w.at[slot]
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, min(R, n_states), drain, 0)
+
+        # ---- output layer backward
+        a_last, us_last = split(c_state)
+        d_last = dact_from(a_last)
+        s_last = jnp.concatenate([a_last] + [u * d_last for u in us_last], axis=0)
+        ybar = ybar_ref[:]
+        zbar_out = jnp.concatenate([ybar] + [r[:] for r in tbar_refs], axis=0)
+        dw_out_ref[:] += _compact(mm_tn(s_last, zbar_out), g, s)
+        db_out_ref[:] += jnp.sum(ybar, axis=0, keepdims=True)
+        sbar = mm_t(zbar_out, w_out_ref[:])
+
+        # ---- hidden stack backward, streaming states in reverse
+        def backward_through(c_prev, c_cur, sbar, j):
+            a_cur, us_cur = split(c_cur)
+            d_cur = dact_from(a_cur)
+            abar, tbars = split(sbar)
+            dbar = jnp.zeros_like(a_cur)
+            for k in range(kt):
+                dbar = dbar + tbars[k] * us_cur[k]
+            ubars = [tbars[k] * d_cur for k in range(kt)]
+            zbar = (abar + ddact_times(a_cur, dbar)) * d_cur
+
+            a_prev, us_prev = split(c_prev)
+            d_prev = dact_from(a_prev)
+            s_prev = jnp.concatenate([a_prev] + [u * d_prev for u in us_prev], axis=0)
+            zbar_stack = jnp.concatenate([zbar] + ubars, axis=0)
+            dw = _compact(mm_tn(s_prev, zbar_stack), g, s)
+            db = jnp.sum(zbar, axis=0, keepdims=True)
+            sbar_prev = mm_t(zbar_stack, w_h_ref[j])
+            return sbar_prev, dw, db
+
+        def get_start(j):
+            slot = jax.lax.rem(j, R)
+            pltpu.make_async_copy(
+                states_ref.at[j], ring.at[slot], sem_r.at[slot]
+            ).start()
+
+        def prefetch(i, _):
+            get_start(n_stack - 1 - i)
+            return 0
+
+        jax.lax.fori_loop(0, min(pdist, n_stack), prefetch, 0)
+
+        def bwd_step(i, carry):
+            sbar, c_cur = carry
+            j = n_stack - 1 - i
+            slot = jax.lax.rem(j, R)
+            pltpu.make_async_copy(
+                states_ref.at[j], ring.at[slot], sem_r.at[slot]
+            ).wait()
+            c_prev = ring[slot]
+
+            @pl.when(j >= pdist)
+            def _():
+                get_start(j - pdist)
+
+            sbar_prev, dw, db = backward_through(c_prev, c_cur, sbar, j)
+            dw_h_ref[j] += dw
+            db_h_ref[pl.ds(j, 1), :] += db
+            return sbar_prev, c_prev
+
+        sbar, c0 = jax.lax.fori_loop(0, n_stack, bwd_step, (sbar, c_state))
+
+        # ---- input layer backward (c0 == state 0)
+        a_0, us_0 = split(c0)
+        d_0 = dact_from(a_0)
+        abar0, tbars0 = split(sbar)
+        dbar0 = jnp.zeros_like(a_0)
+        for k in range(kt):
+            dbar0 = dbar0 + tbars0[k] * us_0[k]
+        zbar0 = (abar0 + ddact_times(a_0, dbar0)) * d_0
+        dw_in = _compact(mm_tn(x, zbar0), g, s)
+        for k in range(kt):
+            ubar0 = tbars0[k] * d_0
+            v = jnp.sum(ubar0, axis=0, keepdims=True)       # (1, 128)
+            folded = _roll_sum(v, g, s)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, LANES), 0)
+            dw_in = dw_in + jnp.where(row_ids == k, folded, 0.0)
+        dw_in_ref[:] += dw_in
+        db_in_ref[:] += jnp.sum(zbar0, axis=0, keepdims=True)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "spec", "n_tangents", "precision", "interpret",
-        "rows_per_tile", "ckpt_every", "seg_unroll",
+        "rows_per_tile", "ckpt_every", "seg_unroll", "impl",
     ),
 )
 def packed_mlp_bwd(
@@ -417,16 +632,24 @@ def packed_mlp_bwd(
     rows_per_tile: int = 0,
     ckpt_every: int = 0,
     seg_unroll: int = -1,
+    impl: str = "auto",
 ) -> dict:
     """Parameter gradients of ``(y, dy) = mlp_apply_with_tangents(...)`` given
     output cotangents ``ybar (N, d_out)`` and ``dybar (K, N, d_out)``.
 
-    ``rows_per_tile``/``ckpt_every`` default (0) to the module-tuned
-    BWD_ROWS and the per-precision CKPT_EVERY[_F32X3]; ``seg_unroll`` -1
-    resolves to the tuned default, 0/1 force the per-segment loops
-    rolled/unrolled."""
+    ``impl`` selects the kernel body: ``'stream'`` (HBM-streamed states, no
+    segment rebuild — see ``_make_bwd_kernel_stream``), ``'rebuild'`` (VMEM
+    checkpoints + segmented recompute), or ``'auto'`` (the tuned default).
+    ``rows_per_tile``/``ckpt_every`` default (0) to the per-impl tuned rows
+    (STREAM_ROWS / BWD_ROWS) and the per-precision CKPT_EVERY[_F32X3];
+    ``seg_unroll`` -1 resolves to the tuned default, 0/1 force the
+    rebuild impl's per-segment loops rolled/unrolled."""
     if spec.dropout_rate:
         raise ValueError("fused VJP kernel does not support dropout")
+    if impl == "auto":
+        impl = BWD_IMPL_DEFAULT[precision]
+    if impl not in ("stream", "rebuild"):
+        raise ValueError(f"unknown bwd impl {impl!r}")
     three_pass = precision == "f32x3"
     dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
     passes = 2 if three_pass else 1
@@ -436,7 +659,8 @@ def packed_mlp_bwd(
     # at BWD_ROWS=256 / G=5 the flagship pad was only 2.2%, but small batches
     # (a few hundred CMB gauge points) padded up to 1280 points
     tm = rows_per_tile or auto_rows_per_tile(
-        -(-coords.shape[0] // g), BWD_ROWS
+        -(-coords.shape[0] // g),
+        STREAM_ROWS[precision] if impl == "stream" else BWD_ROWS,
     )
     ckpt = ckpt_every or (CKPT_EVERY_F32X3 if three_pass else CKPT_EVERY)
     unroll = SEG_UNROLL_DEFAULT if seg_unroll < 0 else bool(seg_unroll)
@@ -453,11 +677,6 @@ def packed_mlp_bwd(
     ns = max(n_stack, 1)
     n_ckpt = (-(-n_stack // ckpt) if n_stack else 0) + 1
     state_rows = (1 + n_tangents) * tm
-
-    kernel = _make_bwd_kernel(
-        spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm,
-        ckpt, unroll, three_pass,
-    )
 
     grid = (m // tm,)
     row_spec = pl.BlockSpec((tm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -479,6 +698,32 @@ def packed_mlp_bwd(
         full(ns, LANES), full(s, LANES), full(1, LANES),
     ]
 
+    if impl == "stream":
+        kernel = _make_bwd_kernel_stream(
+            spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm,
+            RING_SLOTS, three_pass,
+        )
+        # per-tile state stream; lives in HBM (Mosaic forbids HBM scratch, so
+        # it is an output ref we drop), rewritten by every grid step
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((n_stack + 1, state_rows, LANES), jnp.float32)
+        ]
+        out_specs = out_specs + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        scratch_shapes = [
+            pltpu.VMEM((RING_SLOTS, state_rows, LANES), jnp.float32),  # ring
+            pltpu.SemaphoreType.DMA((RING_SLOTS,)),                    # writes
+            pltpu.SemaphoreType.DMA((RING_SLOTS,)),                    # reads
+        ]
+    else:
+        kernel = _make_bwd_kernel(
+            spec, n_stack, n_tangents, g, s, _DOT_PRECISION[precision], tm,
+            ckpt, unroll, three_pass,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((n_ckpt, state_rows, LANES), jnp.float32),               # ckpt
+            pltpu.VMEM((min(ckpt, ns) + 1, state_rows, LANES), jnp.float32),  # seg
+        ]
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -495,10 +740,7 @@ def packed_mlp_bwd(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((n_ckpt, state_rows, LANES), jnp.float32),               # ckpt
-            pltpu.VMEM((min(ckpt, ns) + 1, state_rows, LANES), jnp.float32),  # seg
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         x_packed,
@@ -510,7 +752,7 @@ def packed_mlp_bwd(
         ybar_packed,
         *tbar_packed,
     )
-    dw_in_c, db_in, dw_h_c, db_h, dw_out_c, db_out = outs
+    dw_in_c, db_in, dw_h_c, db_h, dw_out_c, db_out = outs[:6]
 
     def bias_fold(row, width_):
         blocks = row[: g * s].reshape(g, s)[:, :width_]
@@ -540,7 +782,7 @@ def packed_mlp_bwd(
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_apply_core(
     params: dict,
     coords: jax.Array,
@@ -548,6 +790,7 @@ def _fused_apply_core(
     n_tangents: int,
     precision: str = "f32",
     interpret: bool = False,
+    bwd_impl: str = "auto",
 ):
     return packed_mlp_fwd_tangents(
         params, coords, spec, n_tangents, precision=precision, interpret=interpret
@@ -561,11 +804,13 @@ def fused_apply_with_tangents(
     n_tangents: int,
     precision: str = "f32",
     interpret: bool = False,
+    bwd_impl: str = "auto",
 ):
     """Differentiable fused forward+tangents.
 
     Forward == ``kernels.packed_mlp_fwd_tangents``; backward is the fused
-    Pallas VJP kernel.
+    Pallas VJP kernel (``bwd_impl`` selects its body — see
+    ``packed_mlp_bwd``).
 
     .. warning:: **coords is NOT differentiable through this function.**
        The VJP w.r.t. ``coords`` is not implemented; ``coords`` passes
@@ -577,23 +822,23 @@ def fused_apply_with_tangents(
     """
     return _fused_apply_core(
         params, jax.lax.stop_gradient(coords), spec, n_tangents,
-        precision=precision, interpret=interpret,
+        precision, interpret, bwd_impl,
     )
 
 
-def _fused_fwd(params, coords, spec, n_tangents, precision, interpret):
+def _fused_fwd(params, coords, spec, n_tangents, precision, interpret, bwd_impl):
     out = packed_mlp_fwd_tangents(
         params, coords, spec, n_tangents, precision=precision, interpret=interpret
     )
     return out, (params, coords)
 
 
-def _fused_bwd(spec, n_tangents, precision, interpret, residuals, cotangents):
+def _fused_bwd(spec, n_tangents, precision, interpret, bwd_impl, residuals, cotangents):
     params, coords = residuals
     ybar, dybar = cotangents
     grads = packed_mlp_bwd(
         params, coords, ybar, dybar, spec, n_tangents,
-        precision=precision, interpret=interpret,
+        precision=precision, interpret=interpret, impl=bwd_impl,
     )
     return grads, jnp.zeros_like(coords)
 

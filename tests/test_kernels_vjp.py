@@ -15,7 +15,7 @@ def _coord_tangents(coords, k):
     )
 
 
-def _losses(spec, coords, n_tangents):
+def _losses(spec, coords, n_tangents, bwd_impl="auto"):
     def loss_ref(p):
         y, dy = mlp_apply_with_tangents(
             p, coords, _coord_tangents(coords, n_tangents), spec
@@ -24,7 +24,7 @@ def _losses(spec, coords, n_tangents):
 
     def loss_fused(p):
         y, dy = kernels_vjp.fused_apply_with_tangents(
-            p, coords, spec, n_tangents, "f32", True
+            p, coords, spec, n_tangents, "f32", True, bwd_impl
         )
         return jnp.mean(jnp.sin(y)) + jnp.mean((dy - 0.3) ** 2)
 
@@ -41,6 +41,7 @@ def _assert_grads_close(g_ref, g_fused, rtol):
         np.testing.assert_allclose(b / scale, a / scale, atol=rtol, err_msg=k)
 
 
+@pytest.mark.parametrize("impl", ["rebuild", "stream"])
 @pytest.mark.parametrize("width,d_in,d_out,layers,kt", [
     (20, 2, 3, 5, 2),    # flagship shape
     (20, 2, 3, 23, 2),   # deep enough for several checkpoint segments
@@ -49,15 +50,80 @@ def _assert_grads_close(g_ref, g_fused, rtol):
     (64, 2, 3, 3, 2),    # g = 2
     (17, 2, 3, 4, 2),    # odd width: aligned stride 24 != width, g = 5
 ])
-def test_fused_vjp_matches_jax_grad(width, d_in, d_out, layers, kt):
+def test_fused_vjp_matches_jax_grad(width, d_in, d_out, layers, kt, impl):
     spec = MLPSpec(sizes=(d_in,) + (width,) * layers + (d_out,), init_type="xavier")
     params = init_mlp_params(jax.random.PRNGKey(layers), spec)
     coords = jnp.asarray(
         np.random.RandomState(width).uniform(-1, 1, (257, d_in)), jnp.float32
     )
-    loss_ref, loss_fused = _losses(spec, coords, kt)
+    loss_ref, loss_fused = _losses(spec, coords, kt, impl)
     assert float(loss_fused(params)) == pytest.approx(float(loss_ref(params)), rel=1e-5)
     _assert_grads_close(jax.grad(loss_ref)(params), jax.grad(loss_fused)(params), 1e-4)
+
+
+@pytest.mark.parametrize("precision,tol", [("f32", 2e-6), ("f32x3", 2e-5), ("bf16", 3e-2)])
+def test_stream_impl_matches_rebuild(precision, tol):
+    """The HBM-streaming backward equals the segmented-rebuild backward per
+    precision tier (same math, different state residency; tile partitions
+    differ so accumulation order allows tier-scale rounding)."""
+    spec = MLPSpec(sizes=(2,) + (20,) * 12 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(2), spec)
+    rs = np.random.RandomState(7)
+    n = 531  # ragged across tiles
+    coords = jnp.asarray(rs.uniform(-1, 1, (n, 2)), jnp.float32)
+    ybar = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    dybar = jnp.asarray(rs.randn(2, n, 3), jnp.float32)
+    kw = dict(precision=precision, interpret=True)
+    g_re = kernels_vjp.packed_mlp_bwd(
+        params, coords, ybar, dybar, spec, 2, rows_per_tile=16, impl="rebuild", **kw
+    )
+    g_st = kernels_vjp.packed_mlp_bwd(
+        params, coords, ybar, dybar, spec, 2, rows_per_tile=24, impl="stream", **kw
+    )
+    _assert_grads_close(g_re, g_st, tol)
+
+
+@pytest.mark.parametrize("sizes,kt", [
+    ((2, 20, 3), 2),             # n_stack = 0: no hidden-stack streaming at all
+    ((2, 20, 20, 3), 0),         # kt = 0: the fidelity (zero-tangent) pass
+    ((2, 20, 20, 20, 20, 20, 20, 3), 2),  # deeper than the DMA ring
+])
+def test_stream_impl_edge_shapes(sizes, kt):
+    spec = MLPSpec(sizes=sizes, init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(3), spec)
+    rs = np.random.RandomState(9)
+    n = 77
+    coords = jnp.asarray(rs.uniform(-1, 1, (n, sizes[0])), jnp.float32)
+    ybar = jnp.asarray(rs.randn(n, sizes[-1]), jnp.float32)
+    dybar = jnp.asarray(rs.randn(kt, n, sizes[-1]), jnp.float32)
+    tang = _coord_tangents(coords, kt) if kt else None
+
+    def loss(p):
+        if kt == 0:
+            from pinn_depthestimation_tpu.models import mlp_apply
+
+            return jnp.vdot(ybar, mlp_apply(p, coords, spec))
+        y, dy = mlp_apply_with_tangents(p, coords, tang, spec)
+        return jnp.vdot(ybar, y) + sum(
+            jnp.vdot(dybar[k], dy[k]) for k in range(kt)
+        )
+
+    g_ref = jax.grad(loss)(params)
+    g_st = kernels_vjp.packed_mlp_bwd(
+        params, coords, ybar, dybar, spec, kt, interpret=True, impl="stream"
+    )
+    _assert_grads_close(g_ref, g_st, 1e-4)
+
+
+def test_unknown_bwd_impl_rejected():
+    spec = MLPSpec(sizes=(2, 20, 3), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    coords = jnp.zeros((8, 2), jnp.float32)
+    with pytest.raises(ValueError, match="unknown bwd impl"):
+        kernels_vjp.packed_mlp_bwd(
+            params, coords, jnp.zeros((8, 3)), jnp.zeros((2, 8, 3)), spec, 2,
+            interpret=True, impl="nope",
+        )
 
 
 def test_fused_vjp_zero_tangents_matches_jax_grad():
