@@ -432,7 +432,8 @@ def _make_bwd_kernel(spec: MLPSpec, n_stack: int, n_tangents: int, g: int, s: in
 
 def _make_bwd_kernel_stream(spec: MLPSpec, n_stack: int, n_tangents: int,
                             g: int, s: int, dot_precision, tm: int,
-                            ring_slots: int, three_pass: bool = False):
+                            ring_slots: int, three_pass: bool = False,
+                            train_epilogue: int = 0):
     """Backward kernel body, HBM-streaming variant.
 
     Instead of VMEM-resident checkpoints + per-segment recomputation, the
@@ -451,23 +452,50 @@ def _make_bwd_kernel_stream(spec: MLPSpec, n_stack: int, n_tangents: int,
     a DMA never lands in a slot loaded in the same iteration — the slot it
     reuses was consumed one full iteration earlier. The write phase waits on
     slot ``j % R``'s previous DMA before restoring into it.
+
+    ``train_epilogue`` (= the number of fidelity outputs when nonzero, 0
+    otherwise) turns the body into the ONE-KERNEL training step for the
+    shared-points continuity losses: instead of taking output cotangents as
+    inputs, the kernel finishes the forward (output-layer dot), computes the
+    continuity residual + fidelity error + depth anchor IN the packed lane
+    layout (same rolls as ``kernels.continuity_epilogue``), accumulates the
+    loss sufficient statistics, derives the output cotangents from them, and
+    proceeds with the standard backward. This deletes the separate forward
+    kernel from the training step — the replay phase IS the forward.
+    Contract: ``n_tangents == 2``, heads ``(U, V, h)`` at block columns
+    (0, 1, 2), fidelity trues at columns [0, n_true). Inputs swap to
+    ``b_out`` (1,128), ``obs`` rows (trues at cols [0,n_true), premasked
+    anchor sel at col 2), ``msk`` rows (validity at cols 0..2), and an SMEM
+    scalar vector ``[res_scale, anchor_scale, anchor_depth,
+    fid_scale_0..]``; a (1,128) stats accumulator output is appended
+    (lanes: 0=sum fc^2, 1=sum sel*(h-depth)^2, 2+j=sum fid err_j^2).
     """
     kt = n_tangents
     R = ring_slots
     n_states = n_stack + 1  # state 0 = after input layer; j+1 = after w_h[j]
     pdist = R - 1
+    n_true = train_epilogue
+    if train_epilogue:
+        assert kt == 2 and spec.d_out >= 3 and 0 < n_true <= 3
     math = _bwd_math(spec, n_tangents, dot_precision, tm, three_pass)
     act, dact_from, ddact_times = math["act"], math["dact_from"], math["ddact_times"]
     mm, mm_t, mm_tn, split = math["mm"], math["mm_t"], math["mm_tn"], math["split"]
 
     def kernel(
         x_ref, w_in_ref, b_in_ref, w_h_ref, b_h_ref, w_out_ref, t_rows_ref,
-        ybar_ref, *rest,
+        *rest,
     ):
-        tbar_refs = rest[:kt]
-        (dw_in_ref, db_in_ref, dw_h_ref, db_h_ref, dw_out_ref, db_out_ref,
-         states_ref) = rest[kt : kt + 7]
-        ring, sem_w, sem_r = rest[kt + 7 :]
+        if train_epilogue:
+            b_out_ref, obs_ref, msk_ref, scal_ref = rest[:4]
+            (dw_in_ref, db_in_ref, dw_h_ref, db_h_ref, dw_out_ref, db_out_ref,
+             stats_ref, states_ref) = rest[4:12]
+            ring, sem_w, sem_r = rest[12:]
+        else:
+            ybar_ref = rest[0]
+            tbar_refs = rest[1 : 1 + kt]
+            (dw_in_ref, db_in_ref, dw_h_ref, db_h_ref, dw_out_ref, db_out_ref,
+             states_ref) = rest[1 + kt : 8 + kt]
+            ring, sem_w, sem_r = rest[8 + kt :]
 
         @pl.when(pl.program_id(0) == 0)
         def _zero():
@@ -477,6 +505,8 @@ def _make_bwd_kernel_stream(spec: MLPSpec, n_stack: int, n_tangents: int,
             db_h_ref[:] = jnp.zeros_like(db_h_ref)
             dw_out_ref[:] = jnp.zeros_like(dw_out_ref)
             db_out_ref[:] = jnp.zeros_like(db_out_ref)
+            if train_epilogue:
+                stats_ref[:] = jnp.zeros_like(stats_ref)
 
         x = x_ref[:]
 
@@ -530,12 +560,60 @@ def _make_bwd_kernel_stream(spec: MLPSpec, n_stack: int, n_tangents: int,
 
         jax.lax.fori_loop(0, min(R, n_states), drain, 0)
 
-        # ---- output layer backward
+        # ---- output layer: forward finish (train) or given cotangents
         a_last, us_last = split(c_state)
         d_last = dact_from(a_last)
         s_last = jnp.concatenate([a_last] + [u * d_last for u in us_last], axis=0)
-        ybar = ybar_ref[:]
-        zbar_out = jnp.concatenate([ybar] + [r[:] for r in tbar_refs], axis=0)
+        if train_epilogue:
+            # finish the forward: y and the two coordinate-derivative streams
+            out_f = mm(s_last, w_out_ref[:])
+            y = out_f[:tm] + b_out_ref[:]
+            dyx, dyy = out_f[tm : 2 * tm], out_f[2 * tm : 3 * tm]
+
+            # lane-column indicators within the s-strided blocks
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tm, LANES), 1)
+            col = jax.lax.rem(lane, s)
+            inblk = lane < g * s
+            def colf(c):
+                return jnp.where((col == c) & inblk, 1.0, 0.0).astype(y.dtype)
+
+            obs, msk = obs_ref[:], msk_ref[:]
+            roll = lambda v, k: pltpu.roll(v, k, 1)          # noqa: E731
+            rollm = lambda v, k: pltpu.roll(v, LANES - k, 1)  # noqa: E731
+
+            # continuity residual on the h lanes (kernels.continuity_epilogue
+            # rolls, valid in the aligned layout because in-block head
+            # distances are identical): fc[ps+2] = h_x U + h U_x + h_y V + h V_y
+            y2, y1 = roll(y, 2), roll(y, 1)
+            dx2, dy1 = roll(dyx, 2), roll(dyy, 1)
+            fch = (dyx * y2 + y * dx2 + dyy * y1 + y * dy1) * colf(2) * msk
+            sel = obs * colf(2)                  # premasked anchor selector
+            depth = scal_ref[2]
+            anch = sel * (y - depth)             # zero off selected h lanes
+            errs = [colf(j) * msk * (y - obs) for j in range(n_true)]
+
+            # loss sufficient statistics -> lane-splayed accumulator row
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            stats_row = jnp.where(sidx == 0, jnp.sum(fch * fch), 0.0)
+            stats_row += jnp.where(sidx == 1, jnp.sum(anch * anch), 0.0)
+            for j in range(n_true):
+                stats_row += jnp.where(sidx == 2 + j, jnp.sum(errs[j] * errs[j]), 0.0)
+            stats_ref[:] += stats_row
+
+            # cotangents (the epilogue's exact VJP; fcbar is zero off the h
+            # lanes so each rolled product lands on its head's column)
+            fcbar = scal_ref[0] * fch
+            ybar = scal_ref[1] * anch
+            for j in range(n_true):
+                ybar += scal_ref[3 + j] * errs[j]
+            ybar += rollm(fcbar * dyx, 2) + rollm(fcbar * dyy, 1) \
+                + fcbar * (dx2 + dy1)
+            tbarx = fcbar * y2 + rollm(fcbar * y, 2)
+            tbary = fcbar * y1 + rollm(fcbar * y, 1)
+            zbar_out = jnp.concatenate([ybar, tbarx, tbary], axis=0)
+        else:
+            ybar = ybar_ref[:]
+            zbar_out = jnp.concatenate([ybar] + [r[:] for r in tbar_refs], axis=0)
         dw_out_ref[:] += _compact(mm_tn(s_last, zbar_out), g, s)
         db_out_ref[:] += jnp.sum(ybar, axis=0, keepdims=True)
         sbar = mm_t(zbar_out, w_out_ref[:])

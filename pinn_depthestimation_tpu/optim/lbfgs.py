@@ -528,7 +528,13 @@ class LBFGSRunner:
         *,
         mesh=None,
         record_capacity: int = 8192,
+        value_and_grad_fn: Callable | None = None,
     ):
+        """``value_and_grad_fn(params, batch) -> ((total, aux), grads)``
+        overrides ``jax.value_and_grad(loss_fn)`` — used by the Trainer to
+        route evaluations through the one-kernel fused training step
+        (training/loss.py::build_value_and_grad_fn). ``loss_fn`` is still
+        required (template for the aux structure and non-overridden uses)."""
         self.options = options
         flat0, self._unravel = ravel_pytree(params_template)
         self._n = flat0.shape[0]
@@ -544,7 +550,14 @@ class LBFGSRunner:
         def flat_loss(x, batch):
             return loss_fn(self._unravel(x), batch)
 
-        self._flat_value_and_grad = jax.value_and_grad(flat_loss, has_aux=True)
+        if value_and_grad_fn is None:
+            self._flat_value_and_grad = jax.value_and_grad(flat_loss, has_aux=True)
+        else:
+            def flat_vg(x, batch):
+                (total, aux), grads = value_and_grad_fn(self._unravel(x), batch)
+                return (total, aux), ravel_pytree(grads)[0]
+
+            self._flat_value_and_grad = flat_vg
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_chunk(state: LBFGSState, batch) -> LBFGSState:

@@ -44,7 +44,11 @@ from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params, mlp_apply
 from pinn_depthestimation_tpu.optim import lbfgs as lbfgs_mod
 from pinn_depthestimation_tpu.training import checkpoint as ckpt_mod
 from pinn_depthestimation_tpu.training.logging_utils import LossLog, make_run_dir
-from pinn_depthestimation_tpu.training.loss import build_loss_fn, resolve_names
+from pinn_depthestimation_tpu.training.loss import (
+    build_loss_fn,
+    build_value_and_grad_fn,
+    resolve_names,
+)
 
 _CHUNK = 1000  # scan-chunk length; divides every reference checkpoint cadence
 
@@ -119,10 +123,7 @@ class Trainer:
 
         self.use_fused_kernel = self._decide_fused_kernel()
 
-        self.loss_fn = build_loss_fn(
-            config,
-            self.spec,
-            residual_chunk_size=config.residual_chunk_size,
+        _loss_kwargs = dict(
             input_min_max=self.data.input_min_max,
             fused_kernel=self.use_fused_kernel,
             fused_precision=config.resolved_kernel_precision(),
@@ -130,6 +131,22 @@ class Trainer:
             fidelity_is_residual=getattr(
                 self.data, "fidelity_is_residual", False
             ),
+        )
+        self.loss_fn = build_loss_fn(
+            config,
+            self.spec,
+            residual_chunk_size=config.residual_chunk_size,
+            **_loss_kwargs,
+        )
+        # One-kernel loss+grad when the config permits (the flagship path);
+        # None -> generic jax.value_and_grad(loss_fn) everywhere below.
+        self.fused_step_fn = build_value_and_grad_fn(
+            config, self.spec, **_loss_kwargs
+        )
+        self.value_and_grad_fn = self.fused_step_fn or (
+            lambda p, b, rng=None: jax.value_and_grad(self.loss_fn, has_aux=True)(
+                p, b, rng
+            )
         )
         self.optimizer = make_adam_optimizer(config)
 
@@ -207,14 +224,16 @@ class Trainer:
     # ------------------------------------------------------------------ Adam
 
     def _build_adam_chunk(self):
-        loss_fn, optimizer, spec = self.loss_fn, self.optimizer, self.spec
+        value_and_grad, optimizer, spec = (
+            self.value_and_grad_fn, self.optimizer, self.spec
+        )
         use_dropout = spec.dropout_rate > 0.0
 
         def chunk_fn(params, opt_state, batch, base_key, start, length):
             def body(carry, key):
                 params, opt_state = carry
                 dropout_rng = key if use_dropout else None
-                (total, (fid, res)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (total, (fid, res)), grads = value_and_grad(
                     params, batch, dropout_rng
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -279,6 +298,7 @@ class Trainer:
         if self._lbfgs_runner is None:
             self._lbfgs_runner = lbfgs_mod.LBFGSRunner(
                 loss_fn=self.loss_fn,
+                value_and_grad_fn=self.fused_step_fn,
                 params_template=self.state.params,
                 options=lbfgs_mod.LBFGSOptions(
                     lr=cfg.learning_rate,

@@ -62,6 +62,29 @@ def resolve_names(config: Config) -> dict:
     }
 
 
+def _anchor_kwargs(config: Config, input_min_max: dict | None) -> dict:
+    """Quirk-2 toggle (SURVEY.md §5): the reference compares its depth-anchor
+    threshold (physical 25.5 m) against NORMALIZED x, selecting every point.
+    parity=True reproduces that; parity=False interprets the threshold in
+    physical coordinates by mapping it into normalized space (equivalent to
+    comparing against denormalized x, with no extra data plumbing)."""
+    equation_kwargs: dict = {}
+    if (
+        not config.parity
+        and config.physics == "continuity_only"
+        and input_min_max
+        and "x" in input_min_max
+    ):
+        lo, hi = input_min_max["x"]
+        if hi != lo:
+            anchor_raw = config.raw.get("anchor", {})
+            threshold = float(anchor_raw.get("threshold", 25.5))
+            equation_kwargs["anchor_threshold"] = 2 * (threshold - lo) / (hi - lo) - 1
+            if "depth" in anchor_raw:
+                equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
+    return equation_kwargs
+
+
 def build_loss_fn(
     config: Config,
     spec: MLPSpec,
@@ -132,25 +155,7 @@ def build_loss_fn(
     fid_weights = jnp.asarray([config.output_weight(k) for k in fid_outputs], jnp.float32)
     parity = config.parity
 
-    # Quirk-2 toggle (SURVEY.md §5): the reference compares its depth-anchor
-    # threshold (physical 25.5 m) against NORMALIZED x, selecting every point.
-    # parity=True reproduces that; parity=False interprets the threshold in
-    # physical coordinates by mapping it into normalized space (equivalent to
-    # comparing against denormalized x, with no extra data plumbing).
-    equation_kwargs: dict = {}
-    if (
-        not parity
-        and config.physics == "continuity_only"
-        and input_min_max
-        and "x" in input_min_max
-    ):
-        lo, hi = input_min_max["x"]
-        if hi != lo:
-            anchor_raw = config.raw.get("anchor", {})
-            threshold = float(anchor_raw.get("threshold", 25.5))
-            equation_kwargs["anchor_threshold"] = 2 * (threshold - lo) / (hi - lo) - 1
-            if "depth" in anchor_raw:
-                equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
+    equation_kwargs = _anchor_kwargs(config, input_min_max)
 
     # The newmethod pipeline evaluates fidelity and residual on the SAME
     # point set (reference train_newmethod.py:126-156 does one forward and
@@ -336,5 +341,87 @@ def build_loss_fn(
         return total, (fidelity, residual)
 
     return loss_fn
+
+
+# One-kernel training step (ops/kernels_step.py) escape hatch: tests and
+# drive scripts can force the generic value_and_grad path by flipping this.
+FUSED_STEP_ENABLED = True
+
+
+def build_value_and_grad_fn(
+    config: Config,
+    spec: MLPSpec,
+    *,
+    input_min_max: dict | None = None,
+    fused_kernel: bool = False,
+    fused_interpret: bool = False,
+    fused_precision: str = "f32",
+    mesh=None,
+    fidelity_is_residual: bool = False,
+):
+    """Loss+gradient in ONE fused Pallas kernel, when the configuration
+    permits — else ``None`` (caller falls back to
+    ``jax.value_and_grad(loss_fn, has_aux=True)``).
+
+    The one-kernel step (``ops.kernels_step.fused_loss_and_grad``) covers the
+    flagship configuration: fused kernels on, the newmethod shared-points
+    contract (fidelity==residual points), ``continuity_only``/
+    ``continuity_ftemp`` physics with the ``(U, V, h)`` head order, dropout
+    off, and no device mesh (the sharded path keeps the shard_map stats
+    assembly). It returns ``fn(params, batch, dropout_rng=None) ->
+    ((total, (fid, res)), grads)`` with exactly ``build_loss_fn``'s
+    semantics — the custom-VJP backward's replay phase doubles as the
+    forward, deleting the separate forward kernel from every training step.
+    """
+    if not (FUSED_STEP_ENABLED and fused_kernel and fidelity_is_residual):
+        return None
+    if mesh is not None or spec.dropout_rate:
+        return None
+    if config.physics not in ("continuity_only", "continuity_ftemp"):
+        return None
+    names = resolve_names(config)
+    net_outputs = names["network_outputs"]
+    fid_outputs = names["fidelity_outputs"]
+    residual_inputs = names["residual_inputs"]
+    n_true = len(fid_outputs)
+    has_anchor = config.physics == "continuity_only"
+    if net_outputs[:3] != ["U", "V", "h"] or spec.d_out != 3:
+        return None
+    if fid_outputs != net_outputs[:n_true]:
+        return None
+    # the anchor selector rides the h column of the obs rows; a 3-head
+    # fidelity would collide with it (never the case with unknowns present)
+    if n_true > (2 if has_anchor else 3):
+        return None
+    if residual_inputs[:2] != ["x", "y"]:
+        return None
+
+    kwargs = _anchor_kwargs(config, input_min_max)
+    anchor_threshold = kwargs.get("anchor_threshold", 25.5)
+    anchor_depth = kwargs.get("anchor_depth", 0.75)
+    fid_weights = jnp.asarray(
+        [config.output_weight(k) for k in fid_outputs], jnp.float32
+    )
+    w_fid = float(config.weight_fidelity)
+    w_res = float(config.weight_residual)
+    ix = residual_inputs.index("x")
+
+    from pinn_depthestimation_tpu.ops.kernels_step import fused_loss_and_grad
+
+    def value_and_grad_fn(params, batch, dropout_rng=None):
+        del dropout_rng  # dropout==0 enforced above
+        coords = batch["residual_input"]
+        mask = batch.get("residual_mask")
+        if mask is None:
+            mask = jnp.ones((coords.shape[0],), jnp.float32)
+        sel = jnp.where(coords[:, ix] < anchor_threshold, 1.0, 0.0) * mask
+        return fused_loss_and_grad(
+            params, coords, batch["fidelity_true"][:, :n_true], sel, mask,
+            fid_weights, spec, n_true, w_fid, w_res,
+            anchor_depth=anchor_depth, has_anchor=has_anchor,
+            precision=fused_precision, interpret=fused_interpret,
+        )
+
+    return value_and_grad_fn
 
 
