@@ -51,6 +51,50 @@ from pinn_depthestimation_tpu.ops.kernels_vjp import (
 KT = 2  # the continuity losses differentiate w.r.t. (x, y) only
 
 
+def _check_step_spec(spec: MLPSpec, n_true: int) -> None:
+    if spec.dropout_rate:
+        raise ValueError("fused training step does not support dropout")
+    if spec.d_out < 3 or not (0 < n_true <= 3):
+        raise ValueError("fused training step needs (U, V, h) heads")
+
+
+def _loss_scales(
+    sel, mask, fid_weights, n_true, w_fid, w_res, anchor_depth, has_anchor
+):
+    """Global denominators and the SMEM cotangent-scale vector.
+
+    The denominators (masked counts) are batch statistics with zero
+    parameter gradient; on a sharded batch the ``jnp.sum`` here reduces the
+    GLOBAL mask (GSPMD inserts the psum), so every shard runs the kernel
+    with the full-batch scales and per-shard partial sums psum exactly to
+    the full-batch loss and gradients."""
+    f32 = jnp.float32
+    n_res = jnp.sum(mask)
+    n_sel = jnp.sum(sel)
+    res_scale = 2.0 * w_res / n_res
+    anchor_scale = (2.0 * w_res / n_sel) if has_anchor else jnp.float32(0.0)
+    fid_scales = 2.0 * w_fid * fid_weights.astype(f32) / n_res
+    scal = jnp.zeros((8,), f32)
+    scal = scal.at[0].set(res_scale).at[1].set(anchor_scale).at[2].set(anchor_depth)
+    scal = scal.at[3 : 3 + n_true].set(fid_scales)
+    return n_res, n_sel, scal
+
+
+def _combine_stats(stats, params, grads, fid_weights, n_res, n_sel,
+                   n_true, w_fid, w_res, has_anchor):
+    """Loss terms from the kernel's sufficient-statistics row + grads cast
+    back to the parameter dtypes."""
+    grads = jax.tree.map(lambda a, p: a.astype(p.dtype), grads, params)
+    residual = stats[0] / n_res
+    if has_anchor:
+        residual = residual + stats[1] / n_sel
+    fidelity = jnp.sum(
+        fid_weights.astype(jnp.float32) * stats[2 : 2 + n_true]
+    ) / n_res
+    total = w_fid * fidelity + w_res * residual
+    return (total, (fidelity, residual)), grads
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -82,10 +126,86 @@ def fused_loss_and_grad(
     Empty anchor selections divide by zero into nan, matching the
     reference's ``torch.mean`` of an empty tensor (physics.py:28) and the
     XLA path."""
-    if spec.dropout_rate:
-        raise ValueError("fused training step does not support dropout")
-    if spec.d_out < 3 or not (0 < n_true <= 3):
-        raise ValueError("fused training step needs (U, V, h) heads")
+    _check_step_spec(spec, n_true)
+    mask = mask.astype(jnp.float32)
+    sel = sel.astype(jnp.float32)
+    n_res, n_sel, scal = _loss_scales(
+        sel, mask, fid_weights, n_true, w_fid, w_res, anchor_depth, has_anchor
+    )
+    stats, grads = _stats_and_grads(
+        params, coords, trues, sel, mask, scal, spec, n_true,
+        precision, interpret, rows_per_tile,
+    )
+    return _combine_stats(stats, params, grads, fid_weights, n_res, n_sel,
+                          n_true, w_fid, w_res, has_anchor)
+
+
+def fused_loss_and_grad_sharded(
+    params: dict,
+    coords: jax.Array,
+    trues: jax.Array,
+    sel: jax.Array,
+    mask: jax.Array,
+    fid_weights: jax.Array,
+    spec: MLPSpec,
+    n_true: int,
+    w_fid: float,
+    w_res: float,
+    mesh,
+    anchor_depth: float = 0.75,
+    has_anchor: bool = True,
+    precision: str = "f32",
+    interpret: bool = False,
+    rows_per_tile: int = 0,
+):
+    """Data-parallel one-kernel step: ONE ``shard_map`` per evaluation, the
+    fused loss+grad kernel on each shard's rows, ``psum`` over ICI of the
+    loss sufficient statistics AND the parameter-gradient partial sums.
+
+    Exact full-batch numerics: the cotangent scales are built from the
+    GLOBAL masked counts (outside the shard_map), so per-shard gradients
+    are partial sums of the full-batch gradient and add exactly. Rows must
+    already be sharded evenly over the mesh's ``data`` axis with padding
+    masked (``parallel.shard_batch``)."""
+    from jax.sharding import PartitionSpec as P
+
+    _check_step_spec(spec, n_true)
+    mask = mask.astype(jnp.float32)
+    sel = sel.astype(jnp.float32)
+    n_res, n_sel, scal = _loss_scales(
+        sel, mask, fid_weights, n_true, w_fid, w_res, anchor_depth, has_anchor
+    )
+
+    def shard_fn(p, c, t, s_, m, sc):
+        stats, grads = _stats_and_grads(
+            p, c, t, s_, m, sc, spec, n_true, precision, interpret,
+            rows_per_tile,
+        )
+        return jax.tree.map(
+            lambda a: jax.lax.psum(a, "data"), (stats, grads)
+        )
+
+    stats, grads = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,  # pallas_call carries no vma annotations
+    )(params, coords, trues, sel, mask, scal)
+    return _combine_stats(stats, params, grads, fid_weights, n_res, n_sel,
+                          n_true, w_fid, w_res, has_anchor)
+
+
+def _stats_and_grads(
+    params, coords, trues, sel, mask, scal, spec, n_true,
+    precision, interpret, rows_per_tile,
+):
+    """Shard-local kernel invocation: pack rows, run the train-epilogue
+    streaming backward, compact the gradients. Returns ``(stats, grads)``
+    where ``stats`` is the (LANES,) f32 sufficient-statistics row (lane 0 =
+    sum fc^2, 1 = sum sel*(h-depth)^2, 2+j = sum fid err_j^2) and ``grads``
+    is the f32 parameter pytree of loss-gradient partial sums over these
+    rows."""
     three_pass = precision == "f32x3"
     dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
     passes = 2 if three_pass else 1
@@ -95,18 +215,7 @@ def fused_loss_and_grad(
         -(-coords.shape[0] // g), STREAM_ROWS[precision]
     )
     w = spec.width
-
     f32 = jnp.float32
-    mask = mask.astype(f32)
-    sel = sel.astype(f32)
-    n_res = jnp.sum(mask)
-    n_sel = jnp.sum(sel)
-    res_scale = 2.0 * w_res / n_res
-    anchor_scale = (2.0 * w_res / n_sel) if has_anchor else jnp.float32(0.0)
-    fid_scales = 2.0 * w_fid * fid_weights.astype(f32) / n_res
-    scal = jnp.zeros((8,), f32)
-    scal = scal.at[0].set(res_scale).at[1].set(anchor_scale).at[2].set(anchor_depth)
-    scal = scal.at[3 : 3 + n_true].set(fid_scales)
 
     # obs rows: trues at block cols [0, n_true), anchor sel at col 2 (the h
     # column); msk rows: validity at cols 0..2. Padding rows are zero.
@@ -210,13 +319,4 @@ def fused_loss_and_grad(
         "w_out": dw_out_c[:w, : spec.d_out],
         "b_out": bias_fold(db_out[0], spec.d_out),
     }
-    grads = jax.tree.map(lambda a, p: a.astype(p.dtype), grads, params)
-
-    residual = stats[0, 0] / n_res
-    if has_anchor:
-        residual = residual + stats[0, 1] / n_sel
-    fidelity = jnp.sum(
-        fid_weights.astype(f32) * stats[0, 2 : 2 + n_true]
-    ) / n_res
-    total = w_fid * fidelity + w_res * residual
-    return (total, (fidelity, residual)), grads
+    return stats[0], grads

@@ -366,16 +366,19 @@ def build_value_and_grad_fn(
     The one-kernel step (``ops.kernels_step.fused_loss_and_grad``) covers the
     flagship configuration: fused kernels on, the newmethod shared-points
     contract (fidelity==residual points), ``continuity_only``/
-    ``continuity_ftemp`` physics with the ``(U, V, h)`` head order, dropout
-    off, and no device mesh (the sharded path keeps the shard_map stats
-    assembly). It returns ``fn(params, batch, dropout_rng=None) ->
+    ``continuity_ftemp`` physics with the ``(U, V, h)`` head order, and
+    dropout off. On a device mesh it routes to
+    ``fused_loss_and_grad_sharded`` — one shard_map per step, the kernel on
+    each shard's rows, psum'd loss statistics AND gradient partial sums,
+    with globally-built cotangent scales for exact full-batch numerics. It
+    returns ``fn(params, batch, dropout_rng=None) ->
     ((total, (fid, res)), grads)`` with exactly ``build_loss_fn``'s
     semantics — the custom-VJP backward's replay phase doubles as the
     forward, deleting the separate forward kernel from every training step.
     """
     if not (FUSED_STEP_ENABLED and fused_kernel and fidelity_is_residual):
         return None
-    if mesh is not None or spec.dropout_rate:
+    if spec.dropout_rate:
         return None
     if config.physics not in ("continuity_only", "continuity_ftemp"):
         return None
@@ -406,7 +409,10 @@ def build_value_and_grad_fn(
     w_res = float(config.weight_residual)
     ix = residual_inputs.index("x")
 
-    from pinn_depthestimation_tpu.ops.kernels_step import fused_loss_and_grad
+    from pinn_depthestimation_tpu.ops.kernels_step import (
+        fused_loss_and_grad,
+        fused_loss_and_grad_sharded,
+    )
 
     def value_and_grad_fn(params, batch, dropout_rng=None):
         del dropout_rng  # dropout==0 enforced above
@@ -415,12 +421,17 @@ def build_value_and_grad_fn(
         if mask is None:
             mask = jnp.ones((coords.shape[0],), jnp.float32)
         sel = jnp.where(coords[:, ix] < anchor_threshold, 1.0, 0.0) * mask
-        return fused_loss_and_grad(
+        args = (
             params, coords, batch["fidelity_true"][:, :n_true], sel, mask,
             fid_weights, spec, n_true, w_fid, w_res,
+        )
+        kw = dict(
             anchor_depth=anchor_depth, has_anchor=has_anchor,
             precision=fused_precision, interpret=fused_interpret,
         )
+        if mesh is not None:
+            return fused_loss_and_grad_sharded(*args, mesh=mesh, **kw)
+        return fused_loss_and_grad(*args, **kw)
 
     return value_and_grad_fn
 

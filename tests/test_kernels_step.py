@@ -163,14 +163,44 @@ def test_build_value_and_grad_fn_gating(tmp_path):
     # separate fidelity points (CMB contract)
     assert build_value_and_grad_fn(
         cfg, spec, **{**base, "fidelity_is_residual": False}) is None
-    # device mesh -> shard_map path keeps ownership
-    assert build_value_and_grad_fn(cfg, spec, **base, mesh=object()) is None
     # dropout
     spec_do = MLPSpec(sizes=spec.sizes, init_type=spec.init_type, dropout_rate=0.1)
     assert build_value_and_grad_fn(cfg, spec_do, **base) is None
     # unsupported physics
     cfg_ns = _newmethod_cfg(tmp_path, physics="navier_stokes")
     assert build_value_and_grad_fn(cfg_ns, spec, **base) is None
+
+
+def test_fused_step_sharded_matches_plain(tmp_path):
+    """The shard_map one-kernel step on an 8-device mesh equals the plain
+    single-device step — loss terms AND gradients (psum'd partial sums with
+    global cotangent scales)."""
+    from pinn_depthestimation_tpu import parallel
+    from pinn_depthestimation_tpu.training.loss import build_value_and_grad_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    cfg = _newmethod_cfg(tmp_path)
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(4), spec)
+    td = data_mod.load_training_data(cfg)
+    host_batch = {"fidelity_input": td.fidelity_input,
+                  "fidelity_true": td.fidelity_true,
+                  "residual_input": td.residual_input}
+    mesh = parallel.make_mesh(8)
+    sharded_batch = parallel.shard_batch(host_batch, mesh)
+    plain_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    base = dict(fused_kernel=True, fused_interpret=True,
+                fidelity_is_residual=True, input_min_max=td.input_min_max)
+    vg_plain = build_value_and_grad_fn(cfg, spec, **base)
+    vg_shard = build_value_and_grad_fn(cfg, spec, **base, mesh=mesh)
+    (t1, (f1, r1)), g1 = vg_plain(params, plain_batch)
+    (t2, (f2, r2)), g2 = jax.jit(vg_shard)(params, sharded_batch)
+    assert float(t2) == pytest.approx(float(t1), rel=1e-6)
+    assert float(f2) == pytest.approx(float(f1), rel=1e-6)
+    assert float(r2) == pytest.approx(float(r1), rel=1e-6)
+    _grads_close(g1, g2, 1e-6)
 
 
 def test_lbfgs_runner_accepts_value_and_grad_fn(tmp_path):
