@@ -105,6 +105,66 @@ def test_vjp_kernel_zero_tangents_compiled(tpu):
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-4, err_msg=k)
 
 
+def test_one_kernel_step_compiled(tpu, tmp_path):
+    """The train-epilogue one-kernel step (ops/kernels_step) compiles under
+    Mosaic and matches plain jax.value_and_grad — plain AND through the
+    sharded variant on a 1-chip TPU mesh (psum'd stats + grad partials)."""
+    import jax, jax.numpy as jnp, numpy as np  # noqa: E401
+
+    from pinn_depthestimation_tpu import data as data_mod, parallel
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.models import MLPSpec, init_mlp_params
+    from pinn_depthestimation_tpu.training.loss import (
+        build_loss_fn, build_value_and_grad_fn,
+    )
+
+    mat = str(tmp_path / "d.mat")
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    synthetic.make_newmethod_mat(mat, nx=40, ny=30, nan_fraction=0.05, seed=5)
+    cfg = parse_config({
+        "layers": {"input_features": 2, "hidden_layers": 12, "hidden_width": 20,
+                   "output_features": 3, "dropout_rate": 0.0, "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-3,
+                           "scheduler_step_size": 100, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1, "max_evaluation": 0,
+                            "history_size": 10, "tolerance_grad": 1e-8,
+                            "tolerance_change": 1e-11,
+                            "line_search_fn": "strong_wolfe"},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data": {"file": mat, "inputs": {"x": {"requires_grad": ["true"]},
+                                         "y": {"requires_grad": ["true"]}},
+                 "trues": ["U", "V"], "unknowns": ["h"]},
+    })
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(7), spec)
+    td = data_mod.load_training_data(cfg)
+    batch = {"fidelity_input": jnp.asarray(td.fidelity_input),
+             "fidelity_true": jnp.asarray(td.fidelity_true),
+             "residual_input": jnp.asarray(td.residual_input)}
+    base = dict(fused_kernel=True, fused_interpret=False,
+                fidelity_is_residual=True, input_min_max=td.input_min_max)
+
+    loss_fn = build_loss_fn(cfg, spec, fidelity_is_residual=True)
+    (t_ref, _), g_ref = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params, batch)
+
+    def check(vg, b):
+        (t, _), g = jax.jit(vg)(params, b)
+        assert float(t) == pytest.approx(float(t_ref), rel=1e-5)
+        for k in g_ref:
+            a, c = np.asarray(g_ref[k]), np.asarray(g[k])
+            if a.size == 0:
+                continue
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(c / scale, a / scale, atol=2e-4, err_msg=k)
+
+    check(build_value_and_grad_fn(cfg, spec, **base), batch)
+    mesh = parallel.make_mesh(1, devices=jax.devices()[:1])
+    check(build_value_and_grad_fn(cfg, spec, **base, mesh=mesh),
+          parallel.shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh))
+
+
 def test_end_to_end_training_on_tpu(tpu, tmp_path):
     import numpy as np
 
