@@ -104,6 +104,7 @@ def run_train_step_bench(
     ny: int = 261,
     hidden_layers: int = 100,
     width: int = 20,
+    kernel_precision: str | None = None,
 ) -> float:
     """Deployed flagship Adam-step time, ms/iteration (median of ``reps``).
 
@@ -115,9 +116,11 @@ def run_train_step_bench(
     same compiled program ``train_adam`` drives, so this number tracks the
     end-to-end training rate users see, not a stripped kernel
     microbenchmark. Precision/fusion resolve through the shipped defaults
-    (``kernel_precision='auto'`` -> true f32; fused on TPU at this size).
-    Step time scales with the post-mask point count: 5.11 ms at 12,516
-    points and ~7.6 ms at 20,084 (nan 0.05) on v5e — ~0.4 us/point/iter."""
+    (``kernel_precision='auto'`` -> true f32; fused on TPU at this size)
+    unless ``kernel_precision`` overrides the tier.
+    Step time scales with the post-mask point count: 2.93 ms at 12,516
+    points on v5e with the one-kernel step (~0.23 us/point/iter; the
+    two-kernel era measured 5.11 ms / ~0.4 us/point/iter)."""
     import tempfile
 
     from pinn_depthestimation_tpu.config import parse_config
@@ -135,6 +138,8 @@ def run_train_step_bench(
         raw = make_config(
             mat, n_iters, 0, hidden_layers=hidden_layers, hidden_width=width
         )
+        if kernel_precision is not None:
+            raw["kernel_precision"] = kernel_precision
         run_dir = f"{tmp}/run"
         os.makedirs(run_dir)
         trainer = Trainer(parse_config(raw), run_dir=run_dir, echo_every=0)
@@ -179,10 +184,15 @@ def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
         # Guarded: the one-line BENCH record must survive a training-path
         # regression (e.g. a Mosaic compile failure in the VJP kernels) —
         # the residual headline above is the contract, this extra is bonus.
-        try:
-            extras["adam_step_ms"] = run_train_step_bench()
-        except Exception as e:  # pragma: no cover - hardware-path guard
-            extras["adam_step_ms_error"] = f"{type(e).__name__}: {e}"[:200]
+        for name, kprec in (
+            ("adam_step_ms", None),
+            ("adam_step_ms_f32x3", "f32x3"),
+            ("adam_step_ms_bf16", "bf16"),
+        ):
+            try:
+                extras[name] = run_train_step_bench(kernel_precision=kprec)
+            except Exception as e:  # pragma: no cover - hardware-path guard
+                extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
     headline["extras"] = extras
     return headline
 

@@ -51,11 +51,17 @@ from pinn_depthestimation_tpu.ops.kernels_vjp import (
 KT = 2  # the continuity losses differentiate w.r.t. (x, y) only
 
 
-def _check_step_spec(spec: MLPSpec, n_true: int) -> None:
+def _check_step_spec(spec: MLPSpec, n_true: int, has_anchor: bool) -> None:
     if spec.dropout_rate:
         raise ValueError("fused training step does not support dropout")
     if spec.d_out < 3 or not (0 < n_true <= 3):
         raise ValueError("fused training step needs (U, V, h) heads")
+    if has_anchor and n_true > 2:
+        raise ValueError(
+            "the anchor selector rides the h column of the packed obs rows; "
+            "3 observed fidelity heads collide with it (use the generic "
+            "loss path for anchored 3-head configurations)"
+        )
 
 
 def _loss_scales(
@@ -126,14 +132,14 @@ def fused_loss_and_grad(
     Empty anchor selections divide by zero into nan, matching the
     reference's ``torch.mean`` of an empty tensor (physics.py:28) and the
     XLA path."""
-    _check_step_spec(spec, n_true)
+    _check_step_spec(spec, n_true, has_anchor)
     mask = mask.astype(jnp.float32)
     sel = sel.astype(jnp.float32)
     n_res, n_sel, scal = _loss_scales(
         sel, mask, fid_weights, n_true, w_fid, w_res, anchor_depth, has_anchor
     )
     stats, grads = _stats_and_grads(
-        params, coords, trues, sel, mask, scal, spec, n_true,
+        params, coords, trues, sel, mask, scal, spec, n_true, has_anchor,
         precision, interpret, rows_per_tile,
     )
     return _combine_stats(stats, params, grads, fid_weights, n_res, n_sel,
@@ -169,7 +175,7 @@ def fused_loss_and_grad_sharded(
     masked (``parallel.shard_batch``)."""
     from jax.sharding import PartitionSpec as P
 
-    _check_step_spec(spec, n_true)
+    _check_step_spec(spec, n_true, has_anchor)
     mask = mask.astype(jnp.float32)
     sel = sel.astype(jnp.float32)
     n_res, n_sel, scal = _loss_scales(
@@ -178,8 +184,8 @@ def fused_loss_and_grad_sharded(
 
     def shard_fn(p, c, t, s_, m, sc):
         stats, grads = _stats_and_grads(
-            p, c, t, s_, m, sc, spec, n_true, precision, interpret,
-            rows_per_tile,
+            p, c, t, s_, m, sc, spec, n_true, has_anchor, precision,
+            interpret, rows_per_tile,
         )
         return jax.tree.map(
             lambda a: jax.lax.psum(a, "data"), (stats, grads)
@@ -197,7 +203,7 @@ def fused_loss_and_grad_sharded(
 
 
 def _stats_and_grads(
-    params, coords, trues, sel, mask, scal, spec, n_true,
+    params, coords, trues, sel, mask, scal, spec, n_true, has_anchor,
     precision, interpret, rows_per_tile,
 ):
     """Shard-local kernel invocation: pack rows, run the train-epilogue
@@ -218,10 +224,13 @@ def _stats_and_grads(
     f32 = jnp.float32
 
     # obs rows: trues at block cols [0, n_true), anchor sel at col 2 (the h
-    # column); msk rows: validity at cols 0..2. Padding rows are zero.
+    # column — free only while n_true <= 2, enforced by _check_step_spec);
+    # msk rows: validity at cols 0..2. Padding rows are zero. Anchorless
+    # losses skip the sel write so a 3rd observed head keeps its column.
     obs_vals = jnp.zeros((coords.shape[0], 3), f32)
     obs_vals = obs_vals.at[:, :n_true].set(trues.astype(f32))
-    obs_vals = obs_vals.at[:, 2].add(sel)
+    if has_anchor:
+        obs_vals = obs_vals.at[:, 2].add(sel)
     msk_vals = jnp.broadcast_to(mask[:, None], (coords.shape[0], 3))
 
     x_packed, _ = pack_values_strided(coords.astype(f32), spec.d_in, g, s, tm)

@@ -151,6 +151,81 @@ def test_fused_step_masked_and_f32x3():
         _grads_close(g1, g2, tol)
 
 
+@pytest.mark.parametrize(
+    "width,depth,n_true,has_anchor,precision,tol",
+    [
+        (17, 4, 2, True, "f32", 3e-5),    # odd (non-8-multiple) width
+        (24, 9, 1, False, "f32", 3e-5),   # one fidelity head, no anchor term
+        (20, 12, 3, False, "f32", 3e-5),  # all three heads observed, deep>ring
+        (20, 5, 2, True, "bf16", 4e-2),   # bf16 tier of the step
+    ],
+)
+def test_fused_step_edge_shapes(width, depth, n_true, has_anchor, precision, tol):
+    """Oracle check across step-kernel edge shapes: odd widths, depths past
+    the DMA ring, 1/3 fidelity heads, anchorless losses, the bf16 tier."""
+    from pinn_depthestimation_tpu import physics
+    from pinn_depthestimation_tpu.models import mlp_apply_with_tangents
+
+    spec = MLPSpec(sizes=(2,) + (width,) * (depth + 1) + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(2), spec)
+    rs = np.random.RandomState(7)
+    n = 163
+    coords = jnp.asarray(rs.uniform(-1, 1, (n, 2)), jnp.float32)
+    trues = jnp.asarray(rs.randn(n, n_true).astype(np.float32) * 0.1)
+    mask = jnp.asarray((rs.rand(n) > 0.1).astype(np.float32))
+    sel = (coords[:, 0] < 0.3).astype(jnp.float32) * mask
+    w_fid, w_res = 0.7, 1.3
+    fidw = jnp.asarray(rs.uniform(0.5, 2.0, n_true), jnp.float32)
+
+    def ref_loss(p):
+        tang = jnp.stack(
+            [jnp.zeros_like(coords).at[:, c].set(1.0) for c in range(2)]
+        )
+        y, dy = mlp_apply_with_tangents(p, coords, tang, spec)
+        fields = {"U": y[:, 0], "V": y[:, 1], "h": y[:, 2]}
+        grads = {
+            "x": {"U": dy[0, :, 0], "V": dy[0, :, 1], "h": dy[0, :, 2]},
+            "y": {"U": dy[1, :, 0], "V": dy[1, :, 1], "h": dy[1, :, 2]},
+        }
+        fc = physics.continuity_only_residuals(fields, grads)
+        res = jnp.sum(fc**2 * mask) / jnp.sum(mask)
+        if has_anchor:
+            res = res + jnp.sum(sel * (fields["h"] - 0.6) ** 2) / jnp.sum(sel)
+        err2 = (trues - y[:, :n_true]) ** 2
+        fid = jnp.sum(fidw * jnp.sum(err2 * mask[:, None], 0) / jnp.sum(mask))
+        return w_fid * fid + w_res * res, (fid, res)
+
+    (t1, (f1, r1)), g1 = jax.value_and_grad(ref_loss, has_aux=True)(params)
+    (t2, (f2, r2)), g2 = fused_loss_and_grad(
+        params, coords, trues, sel, mask, fidw, spec, n_true, w_fid, w_res,
+        anchor_depth=0.6, has_anchor=has_anchor, precision=precision,
+        interpret=True,
+    )
+    rel = 1e-2 if precision == "bf16" else 1e-4
+    assert float(t2) == pytest.approx(float(t1), rel=rel)
+    assert float(f2) == pytest.approx(float(f1), rel=rel)
+    assert float(r2) == pytest.approx(float(r1), rel=rel)
+    _grads_close(g1, g2, tol)
+
+
+def test_fused_step_rejects_anchored_three_heads():
+    """The anchor selector shares the packed h obs column; an anchored
+    3-head call must be refused loudly instead of silently corrupting the
+    h fidelity term (build_value_and_grad_fn gates this to the generic
+    path; the raw API raises)."""
+    spec = MLPSpec(sizes=(2,) + (20,) * 4 + (3,), init_type="xavier")
+    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    n = 16
+    coords = jnp.zeros((n, 2), jnp.float32)
+    trues = jnp.zeros((n, 3), jnp.float32)
+    ones = jnp.ones((n,), jnp.float32)
+    with pytest.raises(ValueError, match="anchor selector"):
+        fused_loss_and_grad(
+            params, coords, trues, ones, ones, jnp.ones((3,), jnp.float32),
+            spec, 3, 1.0, 1.0, has_anchor=True, interpret=True,
+        )
+
+
 def test_build_value_and_grad_fn_gating(tmp_path):
     """The one-kernel path declines unsupported configurations."""
     cfg = _newmethod_cfg(tmp_path)
@@ -171,14 +246,16 @@ def test_build_value_and_grad_fn_gating(tmp_path):
     assert build_value_and_grad_fn(cfg_ns, spec, **base) is None
 
 
-def test_fused_step_sharded_matches_plain(tmp_path):
-    """The shard_map one-kernel step on an 8-device mesh equals the plain
-    single-device step — loss terms AND gradients (psum'd partial sums with
-    global cotangent scales)."""
+@pytest.mark.parametrize("n_dev", [5, 8])
+def test_fused_step_sharded_matches_plain(tmp_path, n_dev):
+    """The shard_map one-kernel step equals the plain single-device step —
+    loss terms AND gradients (psum'd partial sums with global cotangent
+    scales) — across mesh sizes with different padding remainders (the
+    point count divides neither 5 nor 8)."""
     from pinn_depthestimation_tpu import parallel
     from pinn_depthestimation_tpu.training.loss import build_value_and_grad_fn
 
-    if len(jax.devices()) < 8:
+    if len(jax.devices()) < n_dev:
         pytest.skip("needs the 8-virtual-device CPU mesh")
     cfg = _newmethod_cfg(tmp_path)
     spec = MLPSpec.from_layers(cfg.layers)
@@ -187,7 +264,8 @@ def test_fused_step_sharded_matches_plain(tmp_path):
     host_batch = {"fidelity_input": td.fidelity_input,
                   "fidelity_true": td.fidelity_true,
                   "residual_input": td.residual_input}
-    mesh = parallel.make_mesh(8)
+    assert td.residual_input.shape[0] % n_dev != 0  # padding exercised
+    mesh = parallel.make_mesh(n_dev, devices=jax.devices()[:n_dev])
     sharded_batch = parallel.shard_batch(host_batch, mesh)
     plain_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
