@@ -48,29 +48,39 @@ opt = optax.adam(1e-4)
 opt_state = opt.init(params)
 
 
-def make_step(precision):
-    @jax.jit
-    def step(p, st):
-        (total, _), grads = fused_loss_and_grad(
-            p, coords, trues, sel, mask, fidw, spec, 2, 1.0, 1.0,
-            precision=precision, interpret=SMOKE,
-        )
-        updates, st = opt.update(grads, st, p)
-        return optax.apply_updates(p, updates), st, total
+CHUNK = 2 if SMOKE else 5  # scan-chunk steps: per-dispatch tunnel RTT is
+                           # ~25 ms (CLAUDE.md timing rule) — amortize it
 
-    return step
+
+def make_chunk(precision):
+    @jax.jit
+    def chunk(p, st):
+        def step(carry, _):
+            p, st = carry
+            (total, _), grads = fused_loss_and_grad(
+                p, coords, trues, sel, mask, fidw, spec, 2, 1.0, 1.0,
+                precision=precision, interpret=SMOKE,
+            )
+            updates, st = opt.update(grads, st, p)
+            return (optax.apply_updates(p, updates), st), total
+
+        (p, st), totals = jax.lax.scan(step, (p, st), None, length=CHUNK)
+        return p, st, totals
+
+    return chunk
 
 
 for precision in ("f32", "f32x3", "bf16"):
-    step = make_step(precision)
-    p, st, total = step(params, opt_state)
-    float(total)  # compile + host sync (block_until_ready unreliable)
+    chunk = make_chunk(precision)
+    p, st, totals = chunk(params, opt_state)
+    float(totals[-1])  # compile + host sync (block_until_ready unreliable)
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        _, _, total = step(params, opt_state)
-        float(total)
-        ts.append(time.perf_counter() - t0)
+        _, _, totals = chunk(params, opt_state)
+        float(totals[-1])
+        ts.append((time.perf_counter() - t0) / CHUNK)
     med = sorted(ts)[len(ts) // 2]
     print(f"{precision}: {med:.3f} s/step at {N:,} pts "
-          f"({N / med:.3e} pt-steps/s), loss {float(total):.4e}", flush=True)
+          f"({N / med:.3e} pt-steps/s), loss {float(totals[-1]):.4e}",
+          flush=True)
