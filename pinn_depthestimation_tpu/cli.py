@@ -126,6 +126,8 @@ def cmd_train(args) -> int:
 
 
 def cmd_test(args) -> int:
+    import numpy as np
+
     from pinn_depthestimation_tpu.config import load_config
     from pinn_depthestimation_tpu.inference import Predictor
     from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
@@ -147,7 +149,13 @@ def cmd_test(args) -> int:
         return 1
     result = predictor.run()
     for key, arr in result.pred.items():
-        print(f"pred_{key}: shape {arr.shape}, mean {float(arr.mean()):.5f}")
+        # masked (NaN) grid cells are data-driven (dry/ungauged rows in the
+        # test .mat propagate through prediction); summarize over wet cells
+        nan_pct = 100.0 * float(np.isnan(arr).mean())
+        line = f"pred_{key}: shape {arr.shape}, mean {float(np.nanmean(arr)):.5f}"
+        if nan_pct:
+            line += f" ({nan_pct:.1f}% masked cells)"
+        print(line)
     if args.save:
         from scipy.io import savemat
 
