@@ -4,11 +4,13 @@ shape) through the SHIPPED DEFAULTS with the one-kernel training step —
 same protocol as the round-2/3 final soaks (final total 4.0038e-5, wall
 444-820 s), so convergence and wall-clock regressions surface.
 
-Usage: python .soak/full_default_r5.py
+Usage: python .soak/full_default_r5.py [--precision f32x3|bf16]
+(default: the shipped auto policy -> f32)
 """
 
 import json
 import os
+import sys
 import time
 
 from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
@@ -34,6 +36,8 @@ base["lbfgs_optimizer"]["max_evaluation"] = 62500
 base["snapshot_iteration"] = 50000
 base["data"]["file"] = DATA
 base["data_test"]["file"] = DATA
+if "--precision" in sys.argv:
+    base["kernel_precision"] = sys.argv[sys.argv.index("--precision") + 1]
 
 cfg_path = os.path.join(ROOT, "full_default_r5.json")
 with open(cfg_path, "w") as f:
