@@ -1,12 +1,12 @@
-"""Attribute the stream-backward's reverse-walk time: the one-kernel step
-runs at ~76% of the eval kernel's per-FLOP efficiency (ROOFLINE step
-section). Candidate sinks inside the walk: the dependent sbar chain
-(mm_t per layer), the weight-gradient dots (mm_tn + lane-roll compaction
-+ VMEM accumulate per layer), and the backward VPU chain (ddact/dbar/
-ubars). Timing-only ablated clones (results are garbage — NEVER ship);
-DMA legs stay ON in all variants. Flagship shape, ONE process.
+"""Probe: statically UNROLL the streaming backward's replay + reverse-walk
+loops (python range instead of fori_loop, static ring slots and weight
+slices) — the forward kernel gained +12% f32 / +35% bf16 from full layer
+unroll, and the walk attribution shows replay_nowrites at 1.43x the
+unrolled forward's per-FLOP cost at the flagship shape, implicating the
+rolled loop's dynamic `w_h_ref[j]` slice per iteration. Real computation
+(not timing-only): grads are checked against the rolled kernel.
 
-Usage: python .soak/bwd_walk_attrib.py
+Usage: python .soak/bwd_unroll_probe.py
 """
 
 import time
@@ -33,17 +33,12 @@ spec = MLPSpec(sizes=(2,) + (20,) * (DEPTH + 1) + (3,), init_type="xavier")
 params = init_mlp_params(jax.random.PRNGKey(0), spec)
 rs = np.random.RandomState(0)
 coords = jnp.asarray(rs.uniform(-1, 1, (N, 2)).astype(np.float32))
-ybar = jnp.asarray(rs.randn(N, 3).astype(np.float32))
-dybar = jnp.asarray(rs.randn(KT, N, 3).astype(np.float32))
+ybar = jnp.asarray(rs.randn(N, 3).astype(np.float32) * 0.1)
+dybar = jnp.asarray(rs.randn(KT, N, 3).astype(np.float32) * 0.1)
 
 
-def make_ablated(mode):
-    """Clone of _make_bwd_kernel_stream with reverse-walk pieces toggleable.
-
-    mode: 'full' | 'no_dw' | 'no_sbar' | 'no_bwd_vpu' | 'replay_only'
-          | 'replay_nowrites' (replay with the state ring/DMA stripped —
-          isolates the state-write cost vs the bare forward)
-    """
+def make_unrolled(three_pass_allowed=True):
+    """Clone of _make_bwd_kernel_stream with replay+walk python-unrolled."""
     def builder(spec, n_stack, n_tangents, g, s, dot_precision, tm,
                 ring_slots, three_pass=False, train_epilogue=0):
         kt, R = n_tangents, ring_slots
@@ -72,26 +67,21 @@ def make_ablated(mode):
 
             x = x_ref[:]
 
-            def layer_forward(c_state, j):
+            def layer_forward(c_state, j):  # j static
                 a, us = split(c_state)
                 d = dact_from(a)
                 streams = jnp.concatenate([a] + [u * d for u in us], axis=0)
                 zs = mm(streams, w_h_ref[j])
                 z_a, z_us = split(zs)
-                na = act(z_a + b_h_ref[pl.ds(j, 1), :])
+                na = act(z_a + b_h_ref[j : j + 1, :])
                 return jnp.concatenate([na] + z_us, axis=0)
 
-            def put_state(j, st):
-                if mode == "replay_nowrites":
-                    return
-                slot = jax.lax.rem(j, R)
-
-                @pl.when(j >= R)
-                def _():
+            def put_state(j, st):  # j static
+                slot = j % R
+                if j >= R:
                     pltpu.make_async_copy(
                         ring.at[slot], states_ref.at[j - R], sem_w.at[slot]
                     ).wait()
-
                 ring[slot] = st
                 pltpu.make_async_copy(
                     ring.at[slot], states_ref.at[j], sem_w.at[slot]
@@ -104,29 +94,15 @@ def make_ablated(mode):
             c_state = jnp.concatenate([a0] + seeds, axis=0)
             put_state(0, c_state)
 
-            def replay(j, st):
-                st = layer_forward(st, j)
-                put_state(j + 1, st)
-                return st
+            for j in range(n_stack):  # UNROLLED replay
+                c_state = layer_forward(c_state, j)
+                put_state(j + 1, c_state)
 
-            c_state = jax.lax.fori_loop(0, n_stack, replay, c_state)
-
-            if mode != "replay_nowrites":
-                def drain(i, _):
-                    j = n_states - 1 - i
-                    slot = jax.lax.rem(j, R)
-                    pltpu.make_async_copy(
-                        ring.at[slot], states_ref.at[j], sem_w.at[slot]
-                    ).wait()
-                    return 0
-
-                jax.lax.fori_loop(0, min(R, n_states), drain, 0)
-
-            if mode in ("replay_only", "replay_nowrites"):
-                # consume the replay result so the loop survives
-                db_out_ref[:] += jnp.sum(
-                    split(c_state)[0], axis=0, keepdims=True)
-                return
+            for i in range(min(R, n_states)):  # drain writes
+                j = n_states - 1 - i
+                pltpu.make_async_copy(
+                    ring.at[j % R], states_ref.at[j], sem_w.at[j % R]
+                ).wait()
 
             a_last, us_last = split(c_state)
             d_last = dact_from(a_last)
@@ -138,70 +114,49 @@ def make_ablated(mode):
             db_out_ref[:] += jnp.sum(yb, axis=0, keepdims=True)
             sbar = mm_t(zbar_out, w_out_ref[:])
 
-            def backward_through(c_prev, c_cur, sbar, j):
+            def backward_through(c_prev, c_cur, sbar, j):  # j static
                 a_cur, us_cur = split(c_cur)
                 d_cur = dact_from(a_cur)
                 abar, tbars = split(sbar)
-                if mode == "no_bwd_vpu":
-                    ubars = list(tbars)
-                    zbar = abar
-                else:
-                    dbar = jnp.zeros_like(a_cur)
-                    for k in range(kt):
-                        dbar = dbar + tbars[k] * us_cur[k]
-                    ubars = [tbars[k] * d_cur for k in range(kt)]
-                    zbar = (abar + ddact_times(a_cur, dbar)) * d_cur
+                dbar = jnp.zeros_like(a_cur)
+                for k in range(kt):
+                    dbar = dbar + tbars[k] * us_cur[k]
+                ubars = [tbars[k] * d_cur for k in range(kt)]
+                zbar = (abar + ddact_times(a_cur, dbar)) * d_cur
+                a_prev, us_prev = split(c_prev)
+                d_prev = dact_from(a_prev)
+                s_prev = jnp.concatenate(
+                    [a_prev] + [u * d_prev for u in us_prev], axis=0)
                 zbar_stack = jnp.concatenate([zbar] + ubars, axis=0)
-                if mode == "no_dw":
-                    dw = None
-                else:
-                    a_prev, us_prev = split(c_prev)
-                    d_prev = dact_from(a_prev)
-                    s_prev = jnp.concatenate(
-                        [a_prev] + [u * d_prev for u in us_prev], axis=0)
-                    dw = kv._compact(mm_tn(s_prev, zbar_stack), g, s)
+                dw = kv._compact(mm_tn(s_prev, zbar_stack), g, s)
                 db = jnp.sum(zbar, axis=0, keepdims=True)
-                if mode == "no_sbar":
-                    sbar_prev = zbar_stack * 0.5
-                else:
-                    sbar_prev = mm_t(zbar_stack, w_h_ref[j])
+                sbar_prev = mm_t(zbar_stack, w_h_ref[j])
                 return sbar_prev, dw, db
 
-            def get_start(j):
-                slot = jax.lax.rem(j, R)
+            def get_start(j):  # j static
                 pltpu.make_async_copy(
-                    states_ref.at[j], ring.at[slot], sem_r.at[slot]
+                    states_ref.at[j], ring.at[j % R], sem_r.at[j % R]
                 ).start()
 
-            def prefetch(i, _):
+            for i in range(min(pdist, n_stack)):  # prefetch
                 get_start(n_stack - 1 - i)
-                return 0
 
-            jax.lax.fori_loop(0, min(pdist, n_stack), prefetch, 0)
-
-            def bwd_step(i, carry):
-                sbar, c_cur = carry
+            c_cur = c_state
+            for i in range(n_stack):  # UNROLLED reverse walk
                 j = n_stack - 1 - i
-                slot = jax.lax.rem(j, R)
+                slot = j % R
                 pltpu.make_async_copy(
                     states_ref.at[j], ring.at[slot], sem_r.at[slot]
                 ).wait()
                 c_prev = ring[slot]
-
-                @pl.when(j >= pdist)
-                def _():
+                if j >= pdist:
                     get_start(j - pdist)
+                sbar, dw, db = backward_through(c_prev, c_cur, sbar, j)
+                dw_h_ref[j] += dw
+                db_h_ref[j : j + 1, :] += db
+                c_cur = c_prev
 
-                sbar_prev, dw, db = backward_through(c_prev, c_cur, sbar, j)
-                if dw is not None:
-                    dw_h_ref[j] += dw
-                db_h_ref[pl.ds(j, 1), :] += db
-                return sbar_prev, c_prev
-
-            sbar, c0 = jax.lax.fori_loop(0, n_stack, bwd_step,
-                                         (sbar, c_state))
-
-            a_0, us_0 = split(c0)
+            a_0, us_0 = split(c_cur)
             d_0 = dact_from(a_0)
             abar0, tbars0 = split(sbar)
             dbar0 = jnp.zeros_like(a_0)
@@ -222,40 +177,49 @@ def make_ablated(mode):
     return builder
 
 
-def timed(label, builder):
+def run_once(p):
+    return kv.packed_mlp_bwd(p, coords, ybar, dybar, spec, KT, impl="stream")
+
+
+def timed(label, builder=None):
     orig = kv._make_bwd_kernel_stream
-    kv._make_bwd_kernel_stream = builder
+    if builder is not None:
+        kv._make_bwd_kernel_stream = builder
     try:
         def chunk(p):
             def body(c, _):
-                g = kv.packed_mlp_bwd(c, coords, ybar, dybar, spec, KT,
-                                      impl="stream")
+                g = run_once(c)
                 return jax.tree.map(lambda a, b: a + 0.0 * b, c, g), None
             out, _ = jax.lax.scan(body, p, None, CHUNK)
             return (jax.tree.reduce(lambda a, b: a + jnp.sum(b) * 0, out, 0.0)
                     + out["w_out"][0, 0])
 
+        grads = jax.jit(run_once)(params)
         run = jax.jit(chunk)
+        t0 = time.perf_counter()
         float(run(params))
+        compile_s = time.perf_counter() - t0
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             float(run(params))
             ts.append((time.perf_counter() - t0) / CHUNK * 1e3)
         ms = sorted(ts)[len(ts) // 2]
-        print(f"{label}: {ms:.3f} ms/call", flush=True)
-        return ms
+        print(f"{label}: {ms:.3f} ms/call (compile+first {compile_s:.1f}s)",
+              flush=True)
+        return ms, grads
     finally:
         kv._make_bwd_kernel_stream = orig
 
 
-full = timed("full          ", make_ablated("full")); kv.packed_mlp_bwd.clear_cache()
-replay = timed("replay_only   ", make_ablated("replay_only")); kv.packed_mlp_bwd.clear_cache()
-nowr = timed("replay_nowrite", make_ablated("replay_nowrites")); kv.packed_mlp_bwd.clear_cache()
-no_dw = timed("no_dw_dots    ", make_ablated("no_dw")); kv.packed_mlp_bwd.clear_cache()
-no_sbar = timed("no_sbar_chain ", make_ablated("no_sbar")); kv.packed_mlp_bwd.clear_cache()
-no_vpu = timed("no_bwd_vpu    ", make_ablated("no_bwd_vpu")); kv.packed_mlp_bwd.clear_cache()
-print(f"RESULT walk total {full - replay:.3f} ms | dw dots {full - no_dw:.3f}"
-      f" | sbar chain {full - no_sbar:.3f} | bwd VPU {full - no_vpu:.3f}"
-      f" | state writes {replay - nowr:.3f}",
+rolled_ms, g_rolled = timed("rolled (shipped)")
+kv.packed_mlp_bwd.clear_cache()
+unrolled_ms, g_unrolled = timed("UNROLLED        ", make_unrolled())
+rel = max(
+    float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+          / (np.max(np.abs(np.asarray(b))) + 1e-12))
+    for a, b in zip(jax.tree.leaves(g_unrolled), jax.tree.leaves(g_rolled))
+)
+print(f"RESULT unrolled/rolled = {unrolled_ms / rolled_ms:.3f}x "
+      f"({rolled_ms:.3f} -> {unrolled_ms:.3f} ms), grads max rel diff {rel:.2e}",
       flush=True)
