@@ -227,6 +227,7 @@ def cmd_parity(args) -> int:
         "--nx", str(args.nx), "--ny", str(args.ny),
         "--nan-fraction", str(args.nan_fraction),
         "--tol-grad", str(args.tol_grad), "--tol-change", str(args.tol_change),
+        "--fields", args.fields, "--pipeline", args.pipeline,
     ]
     if args.f64_polish:
         argv += ["--f64-polish", str(args.f64_polish)]
@@ -342,6 +343,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="L-BFGS tolerance_grad (reference config value 1e-5; "
                          "tighten for a deep L-BFGS horizon)")
     pa.add_argument("--tol-change", type=float, default=1e-7)
+    pa.add_argument("--fields", choices=("plane", "structured"), default="plane",
+                    help="synthetic field family: 'structured' makes the "
+                         "h-field RMSE criterion discriminating (continuity-"
+                         "constrained bathymetry)")
+    pa.add_argument("--pipeline", choices=("newmethod", "cmb"),
+                    default="newmethod",
+                    help="reference pipeline to execute and track "
+                         "(cmb = train.py + wave_averaged; its own recipe is "
+                         "--hidden-layers 10 --width 10)")
     pa.add_argument("--f64-polish", type=int, default=0, metavar="MAX_IT",
                     help="append the framework's float64 polish phase after "
                          "its f32 L-BFGS phase (PARITY_LBFGS_WARM.md)")

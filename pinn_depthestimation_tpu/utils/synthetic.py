@@ -25,6 +25,31 @@ import pandas as pd
 from scipy.io import savemat
 
 
+def beach_fields_structured(x: np.ndarray, y: np.ndarray, *, q0=-0.7, x0=25.0):
+    """Analytic fields where continuity GENUINELY constrains a structured
+    bathymetry (the discriminating parity problem — VERDICT r3 weak #4).
+
+    ``h(x)`` is a sloped profile with a sand bar (range ~0.27 m around the
+    0.75 m anchor depth); the cross-shore flux ``h*U = q(y)`` is exactly
+    conserved with ``V = 0``, so the truth continuity residual
+    ``d(hU)/dx + d(hV)/dy`` is 0 in ANY coordinates. With ``|U|`` up to
+    ~1.2 m/s, a flat-h hypothesis pays a continuity cost several times the
+    global anchor's cost of the true structure — the optimum keeps O(truth-
+    scale) h structure instead of the near-flat field the ``beach_fields``
+    problem admits (PARITY_FLAGSHIP_50K.md flat-field effect). Mirrors the
+    reference's own real-data behavior: its ``data_at50k.mat`` h spans
+    0.729-0.762 m despite the global anchor (reference
+    ``train_newmethod.py:141-153``, SURVEY.md §3.2)."""
+    h = 0.75 - 0.14 * np.tanh((x - 29.0) / 2.0) - 0.10 * np.exp(-((x - 27.5) / 0.7) ** 2)
+    q = q0 * (1.0 + 0.15 * np.sin(0.24 * y))
+    U = q / h
+    V = np.zeros_like(U)
+    eta_mean = 0.01 * np.cos(0.4 * (x - x0))
+    hrms = 0.2 + 0.05 * np.tanh(0.3 * (x - x0))
+    k = 1.5 + 0.2 * np.sin(0.2 * y)
+    return {"h": h, "U": U, "V": V, "eta_mean": eta_mean, "Hrms": hrms, "k": k}
+
+
 def beach_fields(x: np.ndarray, y: np.ndarray, *, h0=0.75, slope=0.02, x0=25.0):
     """Analytic depth + velocity + wave fields on arbitrary coordinates."""
     h = h0 - slope * (x - x0)
@@ -36,6 +61,9 @@ def beach_fields(x: np.ndarray, y: np.ndarray, *, h0=0.75, slope=0.02, x0=25.0):
     k = 1.5 + 0.2 * np.sin(0.2 * y)
     del psi
     return {"h": h, "U": U, "V": V, "eta_mean": eta_mean, "Hrms": hrms, "k": k}
+
+
+FIELD_PROFILES = {"plane": beach_fields, "structured": beach_fields_structured}
 
 
 def grid(nx=81, ny=261, x_min=25.0, x_max=33.0, y_min=-13.0, y_max=13.0):
@@ -56,11 +84,16 @@ def make_newmethod_mat(
     x_max=33.0,
     y_min=-13.0,
     y_max=13.0,
+    fields="plane",
 ) -> dict[str, np.ndarray]:
-    """Write a ``data_60percent.mat``-style file: ``x, y, U, V, h`` columns."""
+    """Write a ``data_60percent.mat``-style file: ``x, y, U, V, h`` columns.
+
+    ``fields`` picks the analytic field family (:data:`FIELD_PROFILES`):
+    ``"plane"`` (the historical weakly-constraining problem) or
+    ``"structured"`` (continuity-constrained bathymetry)."""
     rng = np.random.RandomState(seed)
     X, Y = grid(nx, ny, x_min, x_max, y_min, y_max)
-    f = beach_fields(X, Y)
+    f = FIELD_PROFILES[fields](X, Y)
     cols = {
         "x": X.reshape(-1, 1),
         "y": Y.reshape(-1, 1),
@@ -92,18 +125,19 @@ def make_cmb_dataset(
     y_min=-13.0,
     y_max=13.0,
     nan_fraction=0.02,
+    fields="plane",
 ):
     """Write an ``input_fid.csv`` + ``input_res.mat`` pair."""
     rng = np.random.RandomState(seed)
 
     xs = rng.uniform(x_min, x_max, n_csv)
     ys = rng.uniform(y_min, y_max, n_csv)
-    f = beach_fields(xs, ys)
+    f = FIELD_PROFILES[fields](xs, ys)
     frame = pd.DataFrame({"x": xs, "y": ys, **f})
     frame.to_csv(csv_path, index=False)
 
     X, Y = grid(nx, ny, x_min, x_max, y_min, y_max)
-    gridded = beach_fields(X, Y)
+    gridded = FIELD_PROFILES[fields](X, Y)
     mat = {"x": X, "y": Y, **gridded}
     n_nan = int(nan_fraction * X.size)
     if n_nan:

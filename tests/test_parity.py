@@ -431,7 +431,8 @@ def test_ref_cache_meta_validation(tmp_path, capsys):
     from pinn_depthestimation_tpu import parity
 
     flags = dict(iters=100, lbfgs=10, tol_grad=1e-5, tol_change=1e-7,
-                 hidden_layers=3, width=16, nx=16, ny=14, nan_fraction=0.05)
+                 hidden_layers=3, width=16, nx=16, ny=14, nan_fraction=0.05,
+                 fields="plane", pipeline="newmethod")
     args = argparse.Namespace(**flags)
     path = str(tmp_path / "c.npz")
     np.savez(path, meta=parity._cache_meta(args))
@@ -441,6 +442,24 @@ def test_ref_cache_meta_validation(tmp_path, capsys):
     other = argparse.Namespace(**{**flags, "ny": 261, "nan_fraction": 0.408})
     with np.load(path) as z, pytest.raises(SystemExit, match="ny.*261"):
         parity._check_cache_meta(path, z, other)
+
+    # categorical flags are part of the descriptor too
+    other = argparse.Namespace(**{**flags, "fields": "structured"})
+    with np.load(path) as z, pytest.raises(SystemExit, match="fields"):
+        parity._check_cache_meta(path, z, other)
+    other = argparse.Namespace(**{**flags, "pipeline": "cmb"})
+    with np.load(path) as z, pytest.raises(SystemExit, match="pipeline"):
+        parity._check_cache_meta(path, z, other)
+
+    # a cache written before the newest meta fields existed (shorter vector)
+    # composes against default encodings (plane/newmethod) without raising
+    short = str(tmp_path / "short.npz")
+    np.savez(short, meta=parity._cache_meta(args)[:9], totals=np.zeros(3))
+    with np.load(short) as z:
+        parity._check_cache_meta(short, z, args)
+    with np.load(short) as z, pytest.raises(SystemExit, match="fields"):
+        parity._check_cache_meta(
+            short, z, argparse.Namespace(**{**flags, "fields": "structured"}))
 
     legacy = str(tmp_path / "old.npz")
     np.savez(legacy, totals=np.zeros(3))
