@@ -183,6 +183,30 @@ def _radiation_prefactor(hrms, parity: bool):
     return RHO * G * hrms**2 / 8.0
 
 
+def _t_over_sinh(t):
+    """``t / sinh(t)``, numerically stable under AD across the whole range.
+
+    The naive quotient is fine to EVALUATE at small ``t``, but differentiating
+    it applies the quotient rule: ``d/dt = (sinh t - t cosh t) / sinh^2 t``,
+    whose numerator is ``-t^3/3 + O(t^5)`` computed as the difference of two
+    ``~t`` quantities — catastrophic cancellation with f32 relative error
+    ``~3*eps/t^2`` (measured: 0.5% at t=0.01, 46% at t=0.001; the round-3c
+    wave_averaged gradient soft spot, since ``t = 2*k*h`` is tiny at random
+    init where the k/h heads start near zero). The even Taylor series is
+    stable at every AD order; the direct branch serves ``|t| >= 0.5`` where
+    the cancellation is harmless (truncation error at the seam ~1e-9).
+    """
+    small = jnp.abs(t) < 0.5
+    ts = jnp.where(small, t, 0.0)          # series arg (0 where unused)
+    tb = jnp.where(small, 1.0, t)          # direct arg (never 0 -> sinh != 0)
+    t2 = ts * ts
+    series = 1.0 + t2 * (
+        -1.0 / 6.0 + t2 * (7.0 / 360.0 + t2 * (
+            -31.0 / 15120.0 + t2 * (127.0 / 604800.0)))
+    )
+    return jnp.where(small, series, tb / jnp.sinh(tb))
+
+
 def wave_averaged_residuals(fields, grads, *, parity: bool = True):
     """Pointwise (continuity, x-momentum, y-momentum) residuals."""
     h, U, V = fields["h"], fields["U"], fields["V"]
@@ -196,15 +220,20 @@ def wave_averaged_residuals(fields, grads, *, parity: bool = True):
     tau_bx = RHO * CD * U * jnp.abs(U)
     tau_by = RHO * CD * V * jnp.abs(V)
 
+    # Sxx = E*(2kh/sinh(2kh) + 1/2), Syy = E*(kh/sinh(2kh)) — both via the
+    # stable r = t/sinh(t) at t = 2kh (Syy = E*r/2). Reference physics.py:
+    # 106-108 writes the naive quotients; the values agree to roundoff and
+    # the parity-mode E=0 zeros are preserved exactly, but gradients avoid
+    # the small-t quotient-rule cancellation (see _t_over_sinh).
     def sxx(f):
         e = _radiation_prefactor(f["Hrms"], parity)
-        kh = f["k"] * f["h"]
-        return e * (2.0 * kh / jnp.sinh(2.0 * kh) + 0.5)
+        r = _t_over_sinh(2.0 * f["k"] * f["h"])
+        return e * (r + 0.5)
 
     def syy(f):
         e = _radiation_prefactor(f["Hrms"], parity)
-        kh = f["k"] * f["h"]
-        return e * (kh / jnp.sinh(2.0 * kh))
+        r = _t_over_sinh(2.0 * f["k"] * f["h"])
+        return e * (0.5 * r)
 
     stress_keys = ("h", "Hrms", "k")
     _, sxx_x = derived_and_grad(sxx, fields, dx, stress_keys)

@@ -87,14 +87,18 @@ def loss_navier_stokes(t, x, y, h, z, u, v):
     return torch.mean(fc**2) + torch.mean(fm_x**2) + torch.mean(fm_y**2)
 
 
-def loss_wave_averaged(x, y, h, U, V, eta_mean, Hrms, k):
+def loss_wave_averaged(x, y, h, U, V, eta_mean, Hrms, k, *, corrected=False):
     g, rho, Cd = 9.81, 1025, 0.002
     u_x, u_y = grad_of(U, x), grad_of(U, y)
     v_x, v_y = grad_of(V, x), grad_of(V, y)
     z_x, z_y = grad_of(eta_mean, x), grad_of(eta_mean, y)
     tau_bx = rho * Cd * U * abs(U)
     tau_by = rho * Cd * V * abs(V)
-    E = 1 / 8**rho * g * Hrms**2  # the reference's precedence quirk, kept verbatim
+    if corrected:
+        # the intended prefactor (what parity=False computes): (1/8) rho g H^2
+        E = rho * g * Hrms**2 / 8.0
+    else:
+        E = 1 / 8**rho * g * Hrms**2  # the reference's precedence quirk, verbatim
     Sxx = E * (2 * k * h / torch.sinh(2 * k * h) + 0.5)
     Syy = E * (1 * k * h / torch.sinh(2 * k * h) + 0.0)
     Sxx_x, Syy_y = grad_of(Sxx, x), grad_of(Syy, y)

@@ -297,7 +297,18 @@ def test_loss_builder_fused_matches_xla(tmp_path):
     _assert_grads_close(g1, g2, 1e-4)
 
 
-def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path, monkeypatch):
+@pytest.mark.parametrize("physics_name,tol", [
+    ("continuity_only", 1e-4),
+    # wave_averaged un-pinned (round 4): with the stable radiation-stress
+    # formulation (physics._t_over_sinh) the f32 conditioning is bounded
+    # (~0.01% typical, 0.19% worst measured — .soak/wave_grad_cond.py), so
+    # fused-vs-XLA agreement at the same precision is meaningful; the looser
+    # tolerance covers the 1/(rho*(eta+h)) pole amplifying f32 reorderings.
+    ("wave_averaged", 1e-3),
+])
+def test_loss_builder_fused_separate_fidelity_matches_xla(
+    tmp_path, monkeypatch, physics_name, tol
+):
     """Fused == XLA on a CMB-shaped problem, where the observation points
     (fidelity CSV) genuinely differ from the collocation points (.mat grid):
     the fused path then runs the SEPARATE zero-tangent fidelity forward
@@ -336,16 +347,17 @@ def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path, monkeypatch)
                                      "y": {"requires_grad": ["true"]}},
                           "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
                           "interval_x": 1, "interval_y": 1},
-        # continuity_only over the 6-head CMB net: well-conditioned in f32,
-        # so fused-vs-XLA gradient agreement is meaningful. (wave_averaged
-        # residual GRADIENTS are intrinsically f32-sensitive here: BOTH f32
-        # paths sit 2.6-4.0% from an f64 oracle at this init — the
-        # radiation-stress sinh/cosh conditioning, SURVEY §5 quirk 1 — so
-        # it cannot distinguish a fused defect from roundoff.)
-        "physics": "continuity_only",
+        "physics": physics_name,
+        "parity": False,  # corrected mode: radiation stresses active
     })
     spec = MLPSpec.from_layers(cfg.layers)
-    params = init_mlp_params(jax.random.PRNGKey(0), spec)
+    params = dict(init_mlp_params(jax.random.PRNGKey(0), spec))
+    # Shift the eta_mean head so the total water depth eta+h stays O(1)
+    # positive (the physical training regime): at raw random init some
+    # collocation point sits on the 1/(rho*(eta+h)) pole, which amplifies
+    # f32 reordering differences unboundedly and makes ANY same-precision
+    # comparison meaningless (the chaos result in .soak/cmb_f32_conv.py).
+    params["b_out"] = params["b_out"].at[3].add(1.0)
     td = data_mod.load_training_data(cfg)
     assert td.fidelity_input.shape[0] != td.residual_input.shape[0]
     assert not td.fidelity_is_residual
@@ -357,12 +369,12 @@ def test_loss_builder_fused_separate_fidelity_matches_xla(tmp_path, monkeypatch)
     loss_fused = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
     (t1, (f1, r1)), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params, batch)
     (t2, (f2, r2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
-    # 1e-4: the fidelity term's packed-lane forward reorders f32 sums vs
+    # the fidelity term's packed-lane forward reorders f32 sums vs
     # mlp_apply, same budget as grads
-    assert float(t2) == pytest.approx(float(t1), rel=1e-4)
-    assert float(f2) == pytest.approx(float(f1), rel=1e-4)
-    assert float(r2) == pytest.approx(float(r1), rel=1e-4)
-    _assert_grads_close(g1, g2, 1e-4)
+    assert float(t2) == pytest.approx(float(t1), rel=tol)
+    assert float(f2) == pytest.approx(float(f1), rel=tol)
+    assert float(r2) == pytest.approx(float(r1), rel=tol)
+    _assert_grads_close(g1, g2, tol)
 
     # the fidelity term ALONE (the path this test exists for) must be tight
     # regardless of physics: grads of the packed zero-tangent forward vs

@@ -104,6 +104,101 @@ def test_wave_averaged_matches_oracle_parity_mode():
     assert loss_jax == pytest.approx(loss_torch, rel=RTOL)
 
 
+def test_wave_averaged_matches_oracle_corrected_mode():
+    """Corrected mode (parity=False, E = rho*g*Hrms^2/8) vs a torch-f64 oracle
+    of the intended equation — the CMB pipeline's default physics un-pinned
+    from continuity (VERDICT r3 weak #1)."""
+    _, _, coords, model, awt = _setup(2, 6, seed=4)
+    names = ["h", "U", "V", "eta_mean", "Hrms", "k"]
+    c, f, g = _jax_bundle(awt, coords, ["x", "y"], ["x", "y"], names)
+    loss_jax = float(physics.wave_averaged(c, f, g, parity=False))
+
+    cols = oracle.make_coord_cols(coords)
+    out = oracle.predict_columns(model, cols)
+    h, U, V, eta, hrms, k = (out[:, i : i + 1] for i in range(6))
+    loss_torch = float(oracle.loss_wave_averaged(
+        cols[0], cols[1], h, U, V, eta, hrms, k, corrected=True))
+    assert loss_jax == pytest.approx(loss_torch, rel=RTOL)
+
+
+def test_wave_averaged_corrected_param_grads_match_f64_oracle():
+    """f32 parameter GRADIENTS of the corrected-mode wave_averaged loss vs the
+    torch-f64 oracle's autograd — the round-3c conditioning soft spot, now
+    bounded: with the stable radiation-stress formulation (physics.py::
+    _t_over_sinh) the measured per-leaf max-scaled gap is ~0.01% at this
+    configuration (worst adversarial init measured: 0.19%,
+    .soak/wave_grad_cond.py)."""
+    spec, params, coords, model, _ = _setup(2, 6, seed=4)
+    names = ["h", "U", "V", "eta_mean", "Hrms", "k"]
+
+    def loss(p):
+        awt = lambda x, t: mlp_apply_with_tangents(p, x, t, spec)  # noqa: E731
+        c, f, g = physics.model_fields_and_grads(
+            awt, jnp.asarray(coords, jnp.float32), ["x", "y"], ["x", "y"], names
+        )
+        return physics.wave_averaged(c, f, g, parity=False)
+
+    g_jax = jax.grad(loss)(params)
+
+    cols = oracle.make_coord_cols(coords)
+    out = oracle.predict_columns(model, cols)
+    h, U, V, eta, hrms, k = (out[:, i : i + 1] for i in range(6))
+    loss_t = oracle.loss_wave_averaged(
+        cols[0], cols[1], h, U, V, eta, hrms, k, corrected=True)
+    loss_t.backward()
+    linears = [m for m in model if isinstance(m, torch.nn.Linear)]
+    g_torch = {
+        "w_in": linears[0].weight.grad.numpy().T,
+        "b_in": linears[0].bias.grad.numpy(),
+        "w_hidden": np.stack([l.weight.grad.numpy().T for l in linears[1:-1]]),
+        "b_hidden": np.stack([l.bias.grad.numpy() for l in linears[1:-1]]),
+        "w_out": linears[-1].weight.grad.numpy().T,
+        "b_out": linears[-1].bias.grad.numpy(),
+    }
+    for key, ref in g_torch.items():
+        ours = np.asarray(g_jax[key], np.float64)
+        scale = np.abs(ref).max() + 1e-12
+        np.testing.assert_allclose(ours / scale, ref / scale, atol=5e-3,
+                                   err_msg=key)
+
+
+def test_t_over_sinh_stable_values_and_derivatives():
+    """physics._t_over_sinh: values match the naive quotient to roundoff at
+    moderate t, and f32 DERIVATIVES stay accurate at small t where AD through
+    the naive quotient suffers catastrophic cancellation (measured 46% rel
+    error at t=1e-3 — the radiation-stress gradient hazard)."""
+    naive64 = lambda t: t / np.sinh(t)  # noqa: E731
+
+    # values, f32, across the branch seam and into the direct branch
+    ts = np.asarray([1e-4, 0.01, 0.3, 0.499, 0.5, 0.501, 1.0, 5.0, 20.0],
+                    np.float32)
+    got = np.asarray(physics._t_over_sinh(jnp.asarray(ts)), np.float64)
+    np.testing.assert_allclose(got, naive64(ts.astype(np.float64)), rtol=2e-6)
+
+    # f32 derivative at small t vs the analytic d/dt[t/sinh t] (f64)
+    d_true = lambda t: (np.sinh(t) - t * np.cosh(t)) / np.sinh(t) ** 2  # noqa: E731
+    d_stable = jax.vmap(jax.grad(physics._t_over_sinh))
+    small = np.asarray([3e-4, 1e-3, 3e-3, 1e-2, 0.05, 0.2], np.float32)
+    got_d = np.asarray(d_stable(jnp.asarray(small)), np.float64)
+    np.testing.assert_allclose(got_d, d_true(small.astype(np.float64)),
+                               rtol=1e-4)
+
+    # ... and the naive f32 quotient really does fail there (the hazard the
+    # stable form removes; guards against someone "simplifying" it back)
+    d_naive = jax.vmap(jax.grad(lambda t: t / jnp.sinh(t)))
+    err = np.abs(np.asarray(d_naive(jnp.asarray(small[:2])), np.float64)
+                 - d_true(small[:2].astype(np.float64)))
+    rel = err / np.abs(d_true(small[:2].astype(np.float64)))
+    assert rel.max() > 0.05, rel
+
+    # second-order AD (the training path differentiates the residual again)
+    dd = jax.vmap(jax.grad(jax.grad(physics._t_over_sinh)))
+    got_dd = np.asarray(dd(jnp.asarray(small)), np.float64)
+    # analytic d2/dt2 [t/sinh t] = -1/3 + 7t^2/30 + O(t^4) near 0
+    approx = -1.0 / 3.0 + 7.0 * small.astype(np.float64) ** 2 / 30.0
+    np.testing.assert_allclose(got_dd[:4], approx[:4], rtol=1e-3)
+
+
 def test_radiation_stress_quirk():
     """Parity mode: E underflows to zero so the stress terms vanish; corrected
     mode restores them (SURVEY.md §5 quirk 1)."""
