@@ -133,10 +133,23 @@ class F64PolishConfig:
     PARITY_LBFGS_WARM.md). The polish phase re-runs the same torch-semantics
     optimizer in float64, where those decrements are resolvable again.
 
-    ``backend='cpu'`` (default) jits the phase on the host CPU backend —
-    TPUs have no native f64, and this stack's emulated-f64 device loops are
-    unstable (CLAUDE.md) — so the phase trades throughput for a noise floor
-    ~1e9x lower. ``backend='default'`` runs it on the default (TPU) backend
+    ``backend='device_eval'`` (default when an accelerator is present) keeps
+    the optimizer loop (two-loop recursion, strong-Wolfe bracketing) as a
+    CPU-backend f64 program but routes every LOSS+GRADIENT evaluation to the
+    default accelerator through an ``io_callback`` — the historical SciPy-
+    wrapper shape (SURVEY.md §3.5): single f64 loss evaluations work on this
+    TPU stack (and are ~3-6x faster than host-CPU evals at flagship shape),
+    it is only the full emulated-f64 device *loop* that faults the worker
+    (CLAUDE.md). The per-evaluation host<->device round-trip (~25 ms tunnel
+    RTT + one ~330 KB parameter vector) amortizes over the ~0.9 s device
+    evaluation. ``backend='cpu'`` runs evaluations on the host CPU backend
+    too (the round-3 behavior; equivalent when no accelerator is present)
+    and is the backend with the BIT-EXACT checkpoint-resume guarantee —
+    device_eval's separately-dispatched evaluation executable can differ by
+    ~1 ulp run-to-run under a contended host, which strong-Wolfe decisions
+    amplify into occasional extra evaluations (same-basin trajectories
+    either way). ``backend='default'`` jits the ENTIRE loop on the default
+    (TPU) backend — known to fault this stack's runtime, kept as the opt-in
     for stacks whose f64 emulation is sound. Tolerances default far tighter
     than the f32 phase's since they gate on f64-resolvable changes.
     """
@@ -148,7 +161,7 @@ class F64PolishConfig:
     tolerance_grad: float = 1e-10
     tolerance_change: float = 1e-13
     line_search_fn: str = "strong_wolfe"
-    backend: str = "cpu"  # 'cpu' | 'default'
+    backend: str = "device_eval"  # 'device_eval' | 'cpu' | 'default'
 
 
 @dataclass(frozen=True)
@@ -389,10 +402,11 @@ def _parse_f64_polish(value: Any) -> F64PolishConfig | None:
         raise ConfigError(
             f"f64_polish.line_search_fn must be one of {_VALID_LINE_SEARCH}, got {ls!r}"
         )
-    backend = str(value.get("backend", "cpu"))
-    if backend not in ("cpu", "default"):
+    backend = str(value.get("backend", "device_eval"))
+    if backend not in ("device_eval", "cpu", "default"):
         raise ConfigError(
-            f"f64_polish.backend must be 'cpu' or 'default', got {backend!r}"
+            f"f64_polish.backend must be 'device_eval', 'cpu' or 'default', "
+            f"got {backend!r}"
         )
     max_it = _as_int(value.get("max_it", 1000), "f64_polish.max_it")
     return F64PolishConfig(

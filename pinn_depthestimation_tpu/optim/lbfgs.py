@@ -529,6 +529,7 @@ class LBFGSRunner:
         mesh=None,
         record_capacity: int = 8192,
         value_and_grad_fn: Callable | None = None,
+        donate_state: bool = True,
     ):
         """``value_and_grad_fn(params, batch) -> ((total, aux), grads)``
         overrides ``jax.value_and_grad(loss_fn)`` — used by the Trainer to
@@ -559,7 +560,13 @@ class LBFGSRunner:
 
             self._flat_value_and_grad = flat_vg
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        # donate_state=False when the evaluation leaf contains a host
+        # callback: donation lets XLA reuse the state buffers while an
+        # in-flight callback may still read its aliased operand — observed
+        # as intermittent bit-level divergence in the device_eval polish
+        @functools.partial(
+            jax.jit, donate_argnums=(0,) if donate_state else ()
+        )
         def run_chunk(state: LBFGSState, batch) -> LBFGSState:
             evaluate = _make_recording_evaluate(
                 lambda x: self._flat_value_and_grad(x, batch)

@@ -348,6 +348,86 @@ class Trainer:
 
     # ------------------------------------------------------------ f64 polish
 
+    def _make_device_eval_vg(self, loss_fn, params64, batch64):
+        """The ``backend='device_eval'`` evaluation leaf: the L-BFGS loop
+        stays a CPU-backend f64 program (native f64 control flow — this TPU
+        stack's emulated-f64 device LOOPS kernel-fault, CLAUDE.md), while
+        every loss+gradient evaluation crosses to the default accelerator
+        through a ``pure_callback``. Single f64 evaluations DO work on
+        the TPU (~0.9 s at flagship shape vs 2.3-5.5 s host-CPU) and the
+        per-evaluation round-trip (~25 ms tunnel RTT + one flat parameter
+        vector) amortizes over them — the historical SciPy-wrapper control
+        shape (SURVEY.md §3.5) with the optimizer math kept on-host.
+
+        Returns ``vg(params, batch) -> ((total, (fid, res)), grads)`` for
+        ``LBFGSRunner(value_and_grad_fn=...)``; the runner's ``batch``
+        argument is ignored — evaluations use the accelerator-resident copy
+        installed here.
+        """
+        from jax.flatten_util import ravel_pytree
+
+        accel = jax.devices()[0]
+        flat0, unravel = ravel_pytree(params64)
+        n = int(flat0.shape[0])
+        batch_dev = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a, np.float64), accel), batch64
+        )
+
+        @jax.jit
+        def vg_dev(x):
+            def flat_loss(z):
+                return loss_fn(unravel(z), batch_dev)
+
+            return jax.value_and_grad(flat_loss, has_aux=True)(x)
+
+        # Callback outputs are passed through ``dtypes.canonicalize_value``
+        # by JAX AFTER the user function returns — on whatever runtime thread
+        # executes the callback, where x64 mode is usually DISABLED (it is
+        # thread-local; our enable_x64 context has already exited). A raw
+        # f64 return would be silently rounded to f32 there (observed as an
+        # intermittent "Expected: float64, Actual: float32" depending on the
+        # executing thread). uint32 is never canonicalized, so every f64
+        # value crosses the callback boundary as a (..., 2) uint32 bit
+        # pattern and is bitcast back inside the traced program.
+        def pack(a):
+            a = np.asarray(a, np.float64)
+            shape = a.shape  # before ascontiguousarray, which promotes 0-d to (1,)
+            flat = np.ascontiguousarray(a).reshape(-1)
+            return flat.view(np.uint32).reshape(shape + (2,))
+
+        def host_eval(x):
+            # the callback runs on a runtime thread: re-enter x64 mode there
+            # (it is thread-local), or device_put would silently round to f32
+            with jax.enable_x64():
+                x_dev = jax.device_put(np.asarray(x, np.float64), accel)
+                (total, (fid, res)), g = vg_dev(x_dev)
+                # host fetches double as the device sync (block_until_ready
+                # is unreliable through the TPU tunnel)
+                return (pack(total), pack(fid), pack(res), pack(g))
+
+        shapes = (
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 2), jnp.uint32),
+        )
+
+        def value_and_grad_fn(params, batch):
+            del batch  # accelerator-resident copy is authoritative
+            x, _ = ravel_pytree(params)
+            # pure_callback, not io_callback: the evaluation is pure in x
+            # (value_and_grad of a fixed batch), so XLA may cache or reorder
+            # it freely and no ordered-io token machinery is needed
+            packed = jax.pure_callback(
+                host_eval, shapes, x, vmap_method="sequential"
+            )
+            total, fid, res, g = (
+                lax.bitcast_convert_type(p, jnp.float64) for p in packed
+            )
+            return (total, (fid, res)), unravel(g)
+
+        return value_and_grad_fn
+
     def train_f64_polish(self) -> None:
         """Optional float64 L-BFGS polish phase (framework extension,
         ``config.F64PolishConfig`` — no reference counterpart).
@@ -373,8 +453,14 @@ class Trainer:
         cfg = self.config.f64_polish
         if cfg is None or cfg.max_it <= 0:
             return
+        backend = cfg.backend
+        # (with no accelerator present, 'device_eval' degenerates to 'cpu'
+        # semantics — the callback's "device" is the host CPU backend — so
+        # CI exercises the very code path real hardware runs)
+        # the optimizer loop's device: host CPU except for the explicit
+        # whole-loop-on-device opt-in ('default')
         device = (
-            jax.devices("cpu")[0] if cfg.backend == "cpu" else jax.devices()[0]
+            jax.devices()[0] if backend == "default" else jax.devices("cpu")[0]
         )
         if device.platform == "tpu":
             # TPUs have no native f64; emulated-f64 device loops are known to
@@ -413,9 +499,16 @@ class Trainer:
                     self.data, "fidelity_is_residual", False
                 ),
             )
+            device_eval_vg = (
+                self._make_device_eval_vg(loss_fn, params64, batch64)
+                if backend == "device_eval"
+                else None
+            )
             runner = lbfgs_mod.LBFGSRunner(
                 loss_fn=loss_fn,
                 params_template=params64,
+                value_and_grad_fn=device_eval_vg,
+                donate_state=device_eval_vg is None,
                 options=lbfgs_mod.LBFGSOptions(
                     lr=cfg.learning_rate,
                     max_iter=cfg.max_it,

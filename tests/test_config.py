@@ -187,7 +187,7 @@ def test_f64_polish_config():
     assert parse_config({**base, "f64_polish": False}).f64_polish is None
 
     p = parse_config({**base, "f64_polish": True}).f64_polish
-    assert p is not None and p.max_it == 1000 and p.backend == "cpu"
+    assert p is not None and p.max_it == 1000 and p.backend == "device_eval"
     assert p.tolerance_grad == 1e-10 and p.tolerance_change == 1e-13
 
     p = parse_config({**base, "f64_polish": {"max_it": 200}}).f64_polish

@@ -480,10 +480,17 @@ def test_f64_polish_checkpoint_exact_continuation(newmethod_setup):
     """A checkpoint cut DURING the f64 polish phase carries the full f64
     optimizer state (section 'lbfgs64'); resuming replays the uninterrupted
     run's remaining rows bit-for-bit WITHOUT re-running the f32 L-BFGS phase,
-    and lands on identical final parameters."""
+    and lands on identical final parameters.
+
+    backend='cpu': bit-exact replay is guaranteed only when evaluations run
+    inside the single optimizer program. The default 'device_eval' dispatches
+    each evaluation as a separate executable through a callback, whose f64
+    reductions can differ by ~1 ulp run-to-run under a contended host thread
+    pool — amplified by line-search decisions into occasional extra
+    evaluations (same-basin; see test_f64_polish_device_eval_resume)."""
     mat, tmp_path = newmethod_setup
     raw = _newmethod_raw(mat, adam_it=10, lbfgs_it=5)
-    raw["f64_polish"] = {"max_it": 60}
+    raw["f64_polish"] = {"max_it": 60, "backend": "cpu"}
     cfg = parse_config(raw)
 
     saved = {}
@@ -525,6 +532,62 @@ def test_f64_polish_checkpoint_exact_continuation(newmethod_setup):
     for key in tr_a.state.params:
         np.testing.assert_array_equal(
             np.asarray(tr_a.state.params[key]), np.asarray(tr_b.state.params[key])
+        )
+
+
+def test_f64_polish_device_eval_resume(newmethod_setup):
+    """Resume under the default 'device_eval' backend: the restored run
+    continues the polish (no f32 re-run), descends, and lands in the same
+    basin as the uninterrupted run. Bit-exactness is NOT asserted — the
+    per-evaluation callback executable's f64 reductions can differ by ~1 ulp
+    under host-load, which line searches amplify into occasional extra
+    evaluations (the 'cpu' backend keeps the bit-exact guarantee)."""
+    mat, tmp_path = newmethod_setup
+    raw = _newmethod_raw(mat, adam_it=10, lbfgs_it=5)
+    raw["f64_polish"] = {"max_it": 60}
+    cfg = parse_config(raw)
+    assert cfg.f64_polish.backend == "device_eval"
+
+    saved = {}
+
+    class MidPolishSaver(Trainer):
+        def _record(self, losses):
+            super()._record(losses)
+            if (
+                "path" not in saved
+                and self._live_lbfgs64_state is not None
+                and int(self._live_lbfgs64_state.reason) == 0  # RUNNING
+            ):
+                saved["path"] = self.save("model_midpolish")
+                saved["iteration"] = self.state.iteration
+
+    run_a = str(tmp_path / "full_de")
+    os.makedirs(run_a)
+    tr_a = MidPolishSaver(cfg, run_dir=run_a, echo_every=0,
+                          lbfgs_record_capacity=40)
+    tr_a.train()
+    assert "path" in saved
+    _, _, _, tot_a = read_log(run_a)
+
+    run_b = str(tmp_path / "resumed_de")
+    os.makedirs(run_b)
+    tr_b = Trainer(cfg, run_dir=run_b, echo_every=0, lbfgs_record_capacity=40)
+    tr_b.restore(saved["path"])
+    assert tr_b._pending_lbfgs64_resume is not None
+    n_before = saved["iteration"]
+    tr_b.train()
+    _, _, _, tot_b = read_log(run_b)
+
+    # B logs only polish rows (no f32 interleave) and keeps descending
+    assert len(tot_b) >= 1
+    assert tot_b[0] <= tot_a[n_before - 1] * 1.5  # continues, not restarts
+    # same terminal basin as the uninterrupted run
+    assert min(tot_b) <= min(tot_a[n_before:]) * 1.05
+    for key in tr_a.state.params:
+        np.testing.assert_allclose(
+            np.asarray(tr_a.state.params[key]),
+            np.asarray(tr_b.state.params[key]),
+            rtol=1e-3, atol=1e-6,
         )
 
 
