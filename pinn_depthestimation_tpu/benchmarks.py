@@ -161,6 +161,52 @@ def run_train_step_bench(
         return round(sorted(times)[len(times) // 2] / n_iters * 1e3, 3)
 
 
+def run_cmb_step_bench(*, n_iters: int = 500, reps: int = 3) -> float:
+    """Deployed CMB-workload Adam step, ms/iteration (median of ``reps``) —
+    the SECOND pipeline's training rate, so the perf story stops silently
+    meaning 'the newmethod workload'. Reference ``config_CMB.json`` net
+    (2->[10]x10->6), wave_averaged physics, separate fidelity CSV (200
+    observation rows) + 81x261 residual grid at interval 1 (~20.5k
+    collocation points), through the shipped Trainer defaults. This
+    configuration cannot use the one-kernel step (separate points,
+    wave_averaged) — fused 'auto' resolves to XLA at this depth (the
+    measured faster tier: .soak/cmb_depth_sweep.py, 0.750 vs 0.835 ms)."""
+    import tempfile
+
+    from pinn_depthestimation_tpu.config import parse_config
+    from pinn_depthestimation_tpu.parity import make_cmb_config
+    from pinn_depthestimation_tpu.training import Trainer
+    from pinn_depthestimation_tpu.utils import synthetic
+    from pinn_depthestimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    with tempfile.TemporaryDirectory() as tmp:
+        csv, mat = f"{tmp}/fid.csv", f"{tmp}/res.mat"
+        synthetic.make_cmb_dataset(csv, mat, nx=81, ny=261, n_csv=400,
+                                   seed=6, nan_fraction=0.03)
+        raw = make_cmb_config(csv, mat, n_iters, 0, interval=1,
+                              training_points=200)
+        run_dir = f"{tmp}/run"
+        os.makedirs(run_dir)
+        trainer = Trainer(parse_config(raw), run_dir=run_dir, echo_every=0)
+        key = jax.random.PRNGKey(0)
+
+        def chunk():
+            _, _, losses = trainer._adam_chunk(
+                trainer.state.params, trainer.state.opt_state, trainer.batch,
+                key, jnp.int32(0), n_iters,
+            )
+            np.asarray(losses)  # value fetch = sync through the TPU tunnel
+
+        chunk()  # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            chunk()
+            times.append(time.perf_counter() - t0)
+        return round(sorted(times)[len(times) // 2] / n_iters * 1e3, 3)
+
+
 def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
     """The full driver record: headline = honest pallas-f32 number, plus the
     other two tiers as ``extras`` so regressions in any tier show up in the
@@ -193,6 +239,10 @@ def run_bench_suite(*, n_points: int = 10_000_000, reps: int = 7) -> dict:
                 extras[name] = run_train_step_bench(kernel_precision=kprec)
             except Exception as e:  # pragma: no cover - hardware-path guard
                 extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            extras["cmb_step_ms"] = run_cmb_step_bench()
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            extras["cmb_step_ms_error"] = f"{type(e).__name__}: {e}"[:200]
     headline["extras"] = extras
     return headline
 

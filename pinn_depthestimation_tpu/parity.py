@@ -139,7 +139,8 @@ def make_cmb_config(csv_path: str, mat_path: str, adam_iters: int,
                     lbfgs_iters: int, tol_grad: float = 1e-5,
                     tol_change: float = 1e-7, hidden_layers: int = 10,
                     hidden_width: int = 10, nx: int = 81,
-                    ny: int = 261) -> dict:
+                    ny: int = 261, interval: int = 10,
+                    training_points: int = 12) -> dict:
     """The reference's own config_CMB.json recipe (2->[10]x10->6 MLP,
     training_points=12, 10x10 residual stride — reference
     ``config_CMB.json:2-56``) with synthetic stand-ins for its private
@@ -159,12 +160,13 @@ def make_cmb_config(csv_path: str, mat_path: str, adam_iters: int,
                     zip(_CMB_OUTPUTS, _CMB_WEIGHTS)},
                  "weight_fid_loss": 1, "weight_res_loss": 1},
         "data_fidelity": {"file": csv_path, "inputs": ["x", "y"],
-                          "outputs": list(_CMB_OUTPUTS), "training_points": 12},
+                          "outputs": list(_CMB_OUTPUTS),
+                          "training_points": training_points},
         "data_residual": {"file": mat_path,
                           "inputs": {"x": {"requires_grad": ["true"]},
                                      "y": {"requires_grad": ["true"]}},
                           "outputs": list(_CMB_OUTPUTS), "snapshots": [1],
-                          "interval_x": 10, "interval_y": 10},
+                          "interval_x": interval, "interval_y": interval},
         "data_test": {"model": "unused", "file": mat_path,
                       "inputs": {"x": {"requires_grad": ["true"]},
                                  "y": {"requires_grad": ["true"]}},
@@ -511,6 +513,16 @@ def main(argv=None) -> int:
   first {rf[0]:.2e}, median {np.median(rf):.2e} relative
 * physics residual loss ({cfg.physics}): first {rr[0]:.2e},
   median {np.median(rr):.2e} relative
+
+Mid-schedule medians do NOT measure implementation fidelity on this
+pipeline: the wave_averaged ``1/(rho*(eta+h))`` pole makes the training
+dynamics chaotic at the f32 noise floor — a single 1e-12-scale kick decays,
+but a 1e-7 kick applied to a PURE-f64 run forks its trajectory exactly like
+f32-vs-f64 forks (median ~0.4 relative; measured, ``.soak/cmb_f32_conv.py``),
+so cross-backend f32 ULP differences fork any two implementations the same
+way. Implementation fidelity is measured by the iteration-1 equality above,
+the CPU golden test (``tests/test_golden_cmb.py``: 40 Adam iterations within
+5e-3 of the executed reference), and the terminal basin/field criteria.
 """
 
     # L-BFGS-phase per-eval tracking (rows after the Adam schedule): how many

@@ -213,13 +213,31 @@ class Trainer:
         leading = [
             names["residual_inputs"].index(c) for c in needed
         ] == list(range(len(needed)))
-        # threshold set from a scan-chunked Adam-step A/B on v5e (101-layer
-        # flagship net, shared forward, round 2): fused/XLA step-time ratio
-        # 1.00x @4096, 1.05x @8192, 1.13x @12514 (the reference workload),
-        # 1.18x @16384 — crossover sits at ~4k, clear win from 8k up, so the
-        # flagship config_CMB_h problem (12,514 pts) trains fused by default
+        # size threshold set from a scan-chunked Adam-step A/B on v5e
+        # (101-layer flagship net, shared forward, round 2): fused/XLA
+        # step-time ratio 1.00x @4096, 1.05x @8192, 1.13x @12514 (the
+        # reference workload), 1.18x @16384 — crossover ~4k, clear win from
+        # 8k up, so the flagship config_CMB_h problem trains fused by default
         big = self.data.residual_input.shape[0] >= 8192
-        return on_tpu and leading and big
+        # WHICH fused path would run also matters (round-4 depth sweeps on
+        # v5e at ~20.5k pts): with the ONE-KERNEL step (newmethod contract)
+        # fused wins at every depth measured (xla/fused 1.20x @10 layers to
+        # 2.01x @100 — .soak/fused_depth_sweep.py); on the generic two-kernel
+        # path (CMB/legacy: separate fidelity forward, residual assembled in
+        # XLA from kernel tangents) XLA wins shallow nets (0.90x @10) and
+        # fused only from ~16 layers (1.23x @25, 1.49x @100 —
+        # .soak/cmb_depth_sweep.py), so 'auto' keeps the reference CMB net
+        # (10 layers) on XLA and deep nets fused.
+        from pinn_depthestimation_tpu.training.loss import (
+            one_kernel_step_applicable,
+        )
+
+        one_kernel = one_kernel_step_applicable(
+            self.config, spec,
+            getattr(self.data, "fidelity_is_residual", False),
+        )
+        deep_enough = one_kernel or spec.n_hidden >= 16
+        return on_tpu and leading and big and deep_enough
 
     # ------------------------------------------------------------------ Adam
 

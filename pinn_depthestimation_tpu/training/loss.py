@@ -348,6 +348,36 @@ def build_loss_fn(
 FUSED_STEP_ENABLED = True
 
 
+def one_kernel_step_applicable(
+    config: Config, spec: MLPSpec, fidelity_is_residual: bool
+) -> bool:
+    """Does this configuration qualify for the one-kernel training step
+    (``build_value_and_grad_fn``'s gate, minus the fused_kernel/escape-hatch
+    inputs)? Shared with ``Trainer._decide_fused_kernel``: the fused-vs-XLA
+    step crossover depends on which fused path would run (the one-kernel
+    step wins from depth 10 up; the generic two-kernel path only from ~16 —
+    round-4 depth sweeps, .soak/fused_depth_sweep.py / cmb_depth_sweep.py).
+    """
+    if not fidelity_is_residual or spec.dropout_rate:
+        return False
+    if config.physics not in ("continuity_only", "continuity_ftemp"):
+        return False
+    names = resolve_names(config)
+    net_outputs = names["network_outputs"]
+    fid_outputs = names["fidelity_outputs"]
+    n_true = len(fid_outputs)
+    has_anchor = config.physics == "continuity_only"
+    if net_outputs[:3] != ["U", "V", "h"] or spec.d_out != 3:
+        return False
+    if fid_outputs != net_outputs[:n_true]:
+        return False
+    if n_true > (2 if has_anchor else 3):
+        return False
+    if names["residual_inputs"][:2] != ["x", "y"]:
+        return False
+    return True
+
+
 def build_value_and_grad_fn(
     config: Config,
     spec: MLPSpec,
@@ -376,28 +406,19 @@ def build_value_and_grad_fn(
     semantics — the custom-VJP backward's replay phase doubles as the
     forward, deleting the separate forward kernel from every training step.
     """
-    if not (FUSED_STEP_ENABLED and fused_kernel and fidelity_is_residual):
+    if not (FUSED_STEP_ENABLED and fused_kernel):
         return None
-    if spec.dropout_rate:
-        return None
-    if config.physics not in ("continuity_only", "continuity_ftemp"):
+    if not one_kernel_step_applicable(config, spec, fidelity_is_residual):
         return None
     names = resolve_names(config)
     net_outputs = names["network_outputs"]
     fid_outputs = names["fidelity_outputs"]
     residual_inputs = names["residual_inputs"]
     n_true = len(fid_outputs)
-    has_anchor = config.physics == "continuity_only"
-    if net_outputs[:3] != ["U", "V", "h"] or spec.d_out != 3:
-        return None
-    if fid_outputs != net_outputs[:n_true]:
-        return None
     # the anchor selector rides the h column of the obs rows; a 3-head
-    # fidelity would collide with it (never the case with unknowns present)
-    if n_true > (2 if has_anchor else 3):
-        return None
-    if residual_inputs[:2] != ["x", "y"]:
-        return None
+    # fidelity would collide with it (never the case with unknowns present;
+    # enforced inside one_kernel_step_applicable)
+    has_anchor = config.physics == "continuity_only"
 
     kwargs = _anchor_kwargs(config, input_min_max)
     anchor_threshold = kwargs.get("anchor_threshold", 25.5)
