@@ -228,6 +228,7 @@ def cmd_parity(args) -> int:
         "--nan-fraction", str(args.nan_fraction),
         "--tol-grad", str(args.tol_grad), "--tol-change", str(args.tol_change),
         "--fields", args.fields, "--pipeline", args.pipeline,
+        "--training-points", str(args.training_points),
     ]
     if args.f64_polish:
         argv += ["--f64-polish", str(args.f64_polish)]
@@ -352,6 +353,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reference pipeline to execute and track "
                          "(cmb = train.py + wave_averaged; its own recipe is "
                          "--hidden-layers 10 --width 10)")
+    pa.add_argument("--training-points", type=int, default=0,
+                    help="CMB fidelity subsample size; 0 = the reference "
+                         "recipe's 12 (see parity --help)")
     pa.add_argument("--f64-polish", type=int, default=0, metavar="MAX_IT",
                     help="append the framework's float64 polish phase after "
                          "its f32 L-BFGS phase (PARITY_LBFGS_WARM.md)")

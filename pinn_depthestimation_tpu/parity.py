@@ -42,6 +42,7 @@ REFERENCE = "/root/reference"
 _CACHE_META_FIELDS = (
     "iters", "lbfgs", "tol_grad", "tol_change",
     "hidden_layers", "width", "nx", "ny", "nan_fraction", "fields", "pipeline",
+    "training_points",
 )
 
 # --fields / --pipeline choices, encoded as their index in cache metadata.
@@ -349,6 +350,13 @@ def main(argv=None) -> int:
                          "constrained bathymetry — the recovered h must carry "
                          "O(truth-scale) structure, making the field-RMSE "
                          "criterion discriminating)")
+    ap.add_argument("--training-points", type=int, default=0,
+                    help="CMB fidelity subsample size; 0 = the reference "
+                         "recipe's 12 (config_CMB.json:44). At 12 points the "
+                         "h-field is data-determined only to a few percent "
+                         "(parity-mode physics constrains h weakly), so the "
+                         "<=1%% field criterion needs a data-pinned variant "
+                         "(e.g. 200) to be meaningful")
     ap.add_argument("--pipeline", choices=_PIPELINE_CHOICES, default="newmethod",
                     help="which reference pipeline to execute and track: "
                          "'newmethod' (train_newmethod.py + continuity_only) "
@@ -409,6 +417,7 @@ def main(argv=None) -> int:
             tol_grad=args.tol_grad, tol_change=args.tol_change,
             hidden_layers=args.hidden_layers, hidden_width=args.width,
             nx=args.nx, ny=args.ny,
+            training_points=args.training_points or 12,
         )
     else:
         synthetic.make_newmethod_mat(

@@ -83,7 +83,7 @@ def test_bench_suite_contract(monkeypatch):
     monkeypatch.setattr(benchmarks, "run_train_step_bench", lambda **kw: 5.1)
     result = benchmarks.run_bench_suite(n_points=1000, reps=3)
     assert set(result) == {"metric", "value", "unit", "vs_baseline", "extras"}
-    assert set(result["extras"]) == {"f32x3", "bf16", "xla", "adam_step_ms",
+    assert set(result["extras"]) == {"f32x3", "bf16", "xla", "adam_step_ms", "cmb_step_ms",
                                      "adam_step_ms_f32x3", "adam_step_ms_bf16"}
     assert result["extras"]["adam_step_ms"] == 5.1
     json.dumps(result)

@@ -311,3 +311,31 @@ def test_lbfgs_runner_accepts_value_and_grad_fn(tmp_path):
     s2, _ = r2.run_chunk(s2, batch)
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
     np.testing.assert_array_equal(np.asarray(s1.records), np.asarray(s2.records))
+
+
+def test_one_kernel_step_applicable_predicate(tmp_path):
+    """The shared gating predicate (training/loss.py) drives BOTH
+    build_value_and_grad_fn and the Trainer's path-aware fused-'auto'
+    heuristic (round-4 depth sweeps: the one-kernel step wins at every
+    depth, the generic two-kernel path only from ~16 layers)."""
+    from pinn_depthestimation_tpu.training.loss import one_kernel_step_applicable
+
+    cfg = _newmethod_cfg(tmp_path)
+    spec = MLPSpec.from_layers(cfg.layers)
+    assert one_kernel_step_applicable(cfg, spec, True)
+    # separate-points pipelines never qualify
+    assert not one_kernel_step_applicable(cfg, spec, False)
+    # physics outside continuity doesn't qualify
+    cfg_ns = _newmethod_cfg(tmp_path, physics="navier_stokes")
+    assert not one_kernel_step_applicable(cfg_ns, spec, True)
+    # dropout doesn't qualify
+    spec_do = MLPSpec.from_layers(
+        type(cfg.layers)(**{**cfg.layers.__dict__, "dropout_rate": 0.1})
+    )
+    assert not one_kernel_step_applicable(cfg, spec_do, True)
+    # consistency: whenever the predicate says yes, the builder returns a fn
+    kw = dict(fused_kernel=True, fused_interpret=True,
+              fidelity_is_residual=True)
+    assert (build_value_and_grad_fn(cfg, spec, **kw) is not None) == \
+        one_kernel_step_applicable(cfg, spec, True)
+    assert build_value_and_grad_fn(cfg_ns, spec, **kw) is None

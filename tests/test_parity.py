@@ -432,7 +432,7 @@ def test_ref_cache_meta_validation(tmp_path, capsys):
 
     flags = dict(iters=100, lbfgs=10, tol_grad=1e-5, tol_change=1e-7,
                  hidden_layers=3, width=16, nx=16, ny=14, nan_fraction=0.05,
-                 fields="plane", pipeline="newmethod")
+                 fields="plane", pipeline="newmethod", training_points=0)
     args = argparse.Namespace(**flags)
     path = str(tmp_path / "c.npz")
     np.savez(path, meta=parity._cache_meta(args))
