@@ -411,6 +411,9 @@ def main(argv=None) -> int:
         synthetic.make_cmb_dataset(
             csv, mat, nx=args.nx, ny=args.ny, nan_fraction=args.nan_fraction,
             seed=21, fields=args.fields,
+            # the subsample (reference train.py:237-240) needs a strictly
+            # larger CSV population; keep the historical 400 when it suffices
+            n_csv=max(400, 2 * (args.training_points or 12)),
         )
         cfg_raw = make_cmb_config(
             csv, mat, args.iters, args.lbfgs,
