@@ -28,7 +28,7 @@ from pinn_depthestimation_tpu.utils import synthetic  # noqa: E402
 
 assert jax.devices()[0].platform == "tpu", "A/B needs the real chip"
 
-N_EVALS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+N_EVALS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 
 mat = tempfile.mktemp(suffix=".mat")
 synthetic.make_newmethod_mat(mat, nx=81, ny=261, nan_fraction=0.408, seed=21)
@@ -57,17 +57,33 @@ def run(backend):
                        "backend": backend},
     })
     run_dir = tempfile.mkdtemp()
-    tr = Trainer(cfg, run_dir=run_dir, echo_every=0)
+    tr = Trainer(cfg, run_dir=run_dir, echo_every=0,
+                 lbfgs_record_capacity=40)
     tr.train_adam()  # short warm phase so the polish starts from sane params
     n0 = tr.state.iteration
+    # chunked polish: the record capacity forces several host re-entries, so
+    # per-chunk walls separate first-compile from steady-state
+    marks = []
+    orig_record = tr._record
+
+    def _record(losses):
+        marks.append((time.time(), tr.state.iteration))
+        return orig_record(losses)
+
+    tr._record = _record
     t0 = time.time()
     tr.train_f64_polish()
     wall = time.time() - t0
     n = tr.state.iteration - n0
     _, _, _, totals = read_log(run_dir)
+    steady = ""
+    if len(marks) >= 2:
+        (t1, i1), (t2, i2) = marks[0], marks[-1]
+        if i2 > i1:
+            steady = f"; steady {(t2 - t1) / (i2 - i1):.2f} s/eval post-compile"
     print(f"{backend}: {n} f64 evals in {wall:.1f} s = {wall / max(n, 1):.2f} "
-          f"s/eval (first {totals[n0]:.6e} -> last {totals[-1]:.6e})",
-          flush=True)
+          f"s/eval incl. compile{steady} "
+          f"(first {totals[n0]:.6e} -> last {totals[-1]:.6e})", flush=True)
     return wall / max(n, 1), totals[-1]
 
 
