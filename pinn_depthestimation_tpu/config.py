@@ -138,7 +138,8 @@ class F64PolishConfig:
     CPU-backend f64 program but routes every LOSS+GRADIENT evaluation to the
     default accelerator through an ``io_callback`` — the historical SciPy-
     wrapper shape (SURVEY.md §3.5): single f64 loss evaluations work on this
-    TPU stack (and are ~3-6x faster than host-CPU evals at flagship shape),
+    TPU stack (measured 0.74 s/eval steady-state at flagship shape vs 1.81
+    on the host CPU backend; 3-7x vs the contended-host record),
     it is only the full emulated-f64 device *loop* that faults the worker
     (CLAUDE.md). The per-evaluation host<->device round-trip (~25 ms tunnel
     RTT + one ~330 KB parameter vector) amortizes over the ~0.9 s device
