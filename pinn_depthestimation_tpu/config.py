@@ -136,7 +136,7 @@ class F64PolishConfig:
     ``backend='device_eval'`` (default when an accelerator is present) keeps
     the optimizer loop (two-loop recursion, strong-Wolfe bracketing) as a
     CPU-backend f64 program but routes every LOSS+GRADIENT evaluation to the
-    default accelerator through an ``io_callback`` — the historical SciPy-
+    default accelerator through a ``pure_callback`` — the historical SciPy-
     wrapper shape (SURVEY.md §3.5): single f64 loss evaluations work on this
     TPU stack (measured 0.74 s/eval steady-state at flagship shape vs 1.81
     on the host CPU backend; 3-7x vs the contended-host record),
