@@ -193,15 +193,33 @@ def _read_ref_log(log_root: str) -> tuple[list, list, list]:
 
 
 def run_reference_cmb(
-    workdir: str, cfg: dict, residual_input: np.ndarray
+    workdir: str, cfg: dict, residual_input: np.ndarray, seed: int | None = None
 ) -> tuple[list, list, list, np.ndarray, float]:
     """Execute the genuine reference train.py (CMB pipeline) with the
     get_min_max shim; return (fids, ress, totals, h_field, wall) where
     ``h_field`` is the final model's h prediction on ``residual_input``
     (the normalized collocation rows the framework loader produced — the
-    byte-identical pipeline, proven by first-evaluation loss equality)."""
+    byte-identical pipeline, proven by first-evaluation loss equality).
+
+    ``seed`` (when given) rewrites the SANDBOX copy's hardcoded 1234 seed
+    literals (reference train.py:22,26,30 — np.random / torch / cuda) so
+    reference-vs-reference intrinsic spread can be measured at the same
+    recipe: a different np seed draws a different 12-row fidelity subsample
+    (train.py:237-240) and a different torch seed draws different initial
+    weights. The read-only mount is never touched."""
     for name in ("train.py", "dnn.py", "physics.py", "operations.py", "plots.py"):
         shutil.copy(os.path.join(REFERENCE, name), os.path.join(workdir, name))
+    if seed is not None:
+        train_path = os.path.join(workdir, "train.py")
+        with open(train_path) as f:
+            src = f.read()
+        patched = src.replace("seed(1234)", f"seed({seed})").replace(
+            "manual_seed(1234)", f"manual_seed({seed})"
+        )
+        if patched == src:
+            raise RuntimeError("seed patch found no 1234 literals in train.py")
+        with open(train_path, "w") as f:
+            f.write(patched)
     with open(os.path.join(workdir, "operations.py"), "a") as f:
         f.write(_GET_MIN_MAX_SHIM)
     with open(os.path.join(workdir, "config_CMB.json"), "w") as f:
