@@ -578,6 +578,27 @@ the CPU golden test (``tests/test_golden_cmb.py``: 40 Adam iterations within
             if args.f64_polish
             else ""
         )
+        # Which acceptance criteria actually apply depends on the physics:
+        # on the chaotic wave_averaged pipeline the Adam phase has already
+        # forked the warm points before L-BFGS starts, so a tracked-prefix
+        # criterion is structurally inapplicable to a full-schedule report
+        # (prefix is 0 by necessity, not by defect) — per-evaluation L-BFGS
+        # validation for that physics lives in the dedicated shared-warm-
+        # point experiment instead (PARITY_CMB_LBFGS.md, VERDICT r4 item 2).
+        if is_cmb:
+            criteria_note = """The warm points are already forked by the chaotic Adam phase (see the
+per-component section above), so a tracked-prefix criterion does not apply
+to this full-schedule report; the applicable criteria here are the
+iteration-1 equality and the same-basin terminal minima. Per-evaluation
+L-BFGS tracking for this physics is validated from a SHARED warm point in
+PARITY_CMB_LBFGS.md (and asserted in CI by tests/test_golden_cmb.py:
+first-L-BFGS-eval equality + same-basin terminal)."""
+        else:
+            criteria_note = """The trajectories are expected to fork eventually: strong-Wolfe bracketing
+makes discrete decisions on f32-roundoff-scale differences, after which the
+two optimizers explore different (equally valid) paths. The acceptance
+criteria are the tracked prefix and same-basin terminal minima, mirrored by
+the CI assertion in tests/test_parity.py (prefix >= 20, gap < 0.1)."""
         lbfgs_section = f"""
 ## L-BFGS phase (per-evaluation tracking)
 
@@ -588,11 +609,7 @@ the CPU golden test (``tests/test_golden_cmb.py``: 40 Adam iterations within
 * terminal minima: reference {lb_ref.min():.6e}, framework {lb_our.min():.6e}
   (log10 gap {gap:.3f})
 
-The trajectories are expected to fork eventually: strong-Wolfe bracketing
-makes discrete decisions on f32-roundoff-scale differences, after which the
-two optimizers explore different (equally valid) paths. The acceptance
-criteria are the tracked prefix and same-basin terminal minima, mirrored by
-the CI assertion in tests/test_parity.py (prefix >= 20, gap < 0.1).
+{criteria_note}
 """
     h_rmse = float(np.sqrt(np.mean((our_h - ref_h) ** 2)))
     h_scale = float(np.max(ref_h) - np.min(ref_h) + 1e-12)
