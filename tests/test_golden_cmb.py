@@ -90,6 +90,26 @@ def test_framework_tracks_actual_reference_cmb_run(golden_cmb, tmp_path):
         err_msg="per-iteration losses diverged from the actual reference CMB run",
     )
 
+    # L-BFGS rows (everything after the Adam schedule — torch logs one row
+    # per closure evaluation, reference train.py:195-200). At 40 Adam
+    # iterations the chaotic fork is still small (the 5e-3 Adam tracking
+    # above), so the first strong-Wolfe evaluation from the ~shared warm
+    # point must agree, and both optimizers must descend into the same
+    # basin. Per-evaluation tracking from an EXACTLY shared warm point is
+    # the dedicated experiment PARITY_CMB_LBFGS.md (.soak/cmb_warm_lbfgs.py).
+    lb_ref = np.asarray(ref_totals[ADAM_IT:])
+    lb_our = np.asarray(totals[ADAM_IT:])
+    assert lb_ref.size >= 1 and lb_our.size >= 1
+    np.testing.assert_allclose(
+        lb_our[0], lb_ref[0], rtol=1e-2,
+        err_msg="first L-BFGS evaluation diverged from the reference's",
+    )
+    gap = abs(np.log10(lb_our.min()) - np.log10(lb_ref.min()))
+    assert gap < 0.1, (
+        f"L-BFGS terminal basins diverged: log10 gap {gap:.3f} "
+        f"(reference {lb_ref.min():.6e}, framework {lb_our.min():.6e})"
+    )
+
     # recovered h on the shared collocation rows agrees at the field level
     our_h = np.asarray(tr.predict(tr.data.residual_input))[:, 0]
     rmse = float(np.sqrt(np.mean((our_h - ref_h) ** 2)))
