@@ -54,7 +54,7 @@ def build_problem(tmp: str):
     synthetic.make_cmb_dataset(
         csv, mat, nx=RECIPE["nx"], ny=RECIPE["ny"],
         nan_fraction=RECIPE["nan_fraction"], seed=21, fields="plane",
-        n_csv=400,
+        n_csv=max(400, 2 * RECIPE["training_points"]),  # parity.py:441 rule
     )
     cfg_raw = parity.make_cmb_config(
         csv, mat, RECIPE["iters"], RECIPE["lbfgs"],

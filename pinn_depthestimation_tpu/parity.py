@@ -391,6 +391,13 @@ def main(argv=None) -> int:
                          "escape from the f32 loss-noise floor that the torch "
                          "reference lacks (PARITY_LBFGS_WARM.md)")
     ap.add_argument("--out", default="PARITY_REPORT.md")
+    ap.add_argument("--fw-cache", default=None,
+                    help="cache the FRAMEWORK phase (loss log + h-field) to "
+                         "this .npz; when present and matching the requested "
+                         "experiment, the framework phase loads from it "
+                         "instead of re-running — reports recompose without "
+                         "a TPU, and the h-field feeds external guards "
+                         "(tests/test_cmb_spread_attribution.py)")
     ap.add_argument("--ref-cache", default=None,
                     help="npz path caching the reference phase (totals, "
                          "h-field, wall, initial params); lets the long torch "
@@ -503,21 +510,53 @@ def main(argv=None) -> int:
     if args.ref_only:
         return 0
 
-    print("[2/3] framework run with identical initial weights...", flush=True)
-    if args.f64_polish:
-        # framework side only — applied after the reference phase so the
-        # JSON the reference executes stays byte-equal to its own schema
-        cfg_raw["f64_polish"] = {"max_it": args.f64_polish}
-    cfg = parse_config(cfg_raw)
-    run_dir = os.path.join(tmp, "ours")
-    os.makedirs(run_dir)
-    t0 = time.time()
-    tr = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
-    tr.train()
-    our_wall = time.time() - t0
-    _, our_fids, our_ress, our_totals = read_log(run_dir)
-    our_h = tr.predict(tr.data.residual_input)[:, h_col]
-    print(f"      framework: {len(our_totals)} evals in {our_wall:.0f}s", flush=True)
+    cfg = parse_config(cfg_raw)  # report text needs cfg.physics either way
+    if args.fw_cache and os.path.exists(args.fw_cache):
+        print(f"[2/3] framework phase loaded from cache {args.fw_cache}",
+              flush=True)
+        zf = np.load(args.fw_cache)
+        _check_cache_meta(args.fw_cache, zf, args)
+        # f64_polish shapes the FRAMEWORK trajectory (but not the reference
+        # one), so it is validated here rather than in the shared meta vector
+        cached_polish = int(zf["f64_polish"]) if "f64_polish" in zf.files else 0
+        if cached_polish != args.f64_polish:
+            raise SystemExit(
+                f"--fw-cache {args.fw_cache} was produced with --f64-polish "
+                f"{cached_polish}, requested {args.f64_polish}; rerun the "
+                f"framework phase or fix the flag"
+            )
+        our_totals = zf["totals"].tolist()
+        our_fids, our_ress = zf["fids"].tolist(), zf["ress"].tolist()
+        our_h, our_wall = zf["h"], float(zf["wall"])
+    else:
+        print("[2/3] framework run with identical initial weights...", flush=True)
+        if args.f64_polish:
+            # framework side only — applied after the reference phase so the
+            # JSON the reference executes stays byte-equal to its own schema
+            cfg_raw["f64_polish"] = {"max_it": args.f64_polish}
+        cfg = parse_config(cfg_raw)
+        run_dir = os.path.join(tmp, "ours")
+        os.makedirs(run_dir)
+        t0 = time.time()
+        tr = Trainer(cfg, run_dir=run_dir, echo_every=0, initial_params=params)
+        tr.train()
+        our_wall = time.time() - t0
+        _, our_fids, our_ress, our_totals = read_log(run_dir)
+        our_h = tr.predict(tr.data.residual_input)[:, h_col]
+        print(f"      framework: {len(our_totals)} evals in {our_wall:.0f}s",
+              flush=True)
+        if args.fw_cache:
+            np.savez(
+                args.fw_cache,
+                totals=np.asarray(our_totals),
+                fids=np.asarray(our_fids),
+                ress=np.asarray(our_ress),
+                h=np.asarray(our_h),
+                wall=our_wall,
+                f64_polish=args.f64_polish,
+                meta=_cache_meta(args),
+            )
+            print(f"      cached to {args.fw_cache}", flush=True)
 
     print("[3/3] comparing...", flush=True)
     n = min(len(ref_totals), len(our_totals), args.iters)
