@@ -148,6 +148,40 @@ class Trainer:
                 p, b, rng
             )
         )
+        # Staged-precision Adam prefix (config.PrecisionScheduleConfig): a
+        # second loss+grad program at the cheap tier for iterations below
+        # the prefix boundary. Tiers live in the Pallas kernels, so on the
+        # XLA path the prefix program IS the main program (the boundary
+        # logic still runs — identical numerics, tested on CPU) and we say
+        # so; likewise when the prefix tier equals the resolved main tier.
+        sched = config.precision_schedule
+        self._prefix_iters = 0
+        self._prefix_value_and_grad = None
+        if sched is not None and sched.prefix_iters > 0:
+            self._prefix_iters = sched.prefix_iters
+            main_tier = config.resolved_kernel_precision()
+            if not self.use_fused_kernel or sched.prefix_precision == main_tier:
+                if not self.use_fused_kernel and sched.prefix_precision != main_tier:
+                    print(
+                        "Warning: precision_schedule is inert on the XLA "
+                        "(non-fused) path — precision tiers are properties "
+                        "of the Pallas kernels; the whole run evaluates at "
+                        "f32."
+                    )
+                self._prefix_value_and_grad = self.value_and_grad_fn
+            else:
+                kw = dict(_loss_kwargs, fused_precision=sched.prefix_precision)
+                prefix_vg = build_value_and_grad_fn(config, self.spec, **kw)
+                if prefix_vg is None:
+                    prefix_loss = build_loss_fn(
+                        config,
+                        self.spec,
+                        residual_chunk_size=config.residual_chunk_size,
+                        **kw,
+                    )
+                    def prefix_vg(p, b, rng=None, _l=prefix_loss):
+                        return jax.value_and_grad(_l, has_aux=True)(p, b, rng)
+                self._prefix_value_and_grad = prefix_vg
         self.optimizer = make_adam_optimizer(config)
 
         if initial_params is not None:
@@ -161,6 +195,11 @@ class Trainer:
         self.state = TrainState(params=params, opt_state=opt_state, iteration=0)
 
         self._adam_chunk = self._build_adam_chunk()
+        self._adam_chunk_prefix = (
+            self._build_adam_chunk(self._prefix_value_and_grad)
+            if self._prefix_value_and_grad is not None
+            else None
+        )
         self._lbfgs_runner: lbfgs_mod.LBFGSRunner | None = None
         self._live_lbfgs_state = None       # exported into checkpoints
         self._pending_lbfgs_resume = None   # raw dict from a restored ckpt
@@ -241,9 +280,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ Adam
 
-    def _build_adam_chunk(self):
+    def _build_adam_chunk(self, value_and_grad=None):
         value_and_grad, optimizer, spec = (
-            self.value_and_grad_fn, self.optimizer, self.spec
+            value_and_grad or self.value_and_grad_fn, self.optimizer, self.spec
         )
         use_dropout = spec.dropout_rate > 0.0
 
@@ -285,7 +324,16 @@ class Trainer:
         base_key = jax.random.PRNGKey(self.config.seed + 1)
         while remaining > 0:
             n = min(_CHUNK, remaining)
-            params, opt_state, losses = self._adam_chunk(
+            # staged-precision prefix: never let a chunk straddle the tier
+            # boundary (absolute-iteration keyed, so resume lands correctly)
+            in_prefix = (
+                self._adam_chunk_prefix is not None
+                and self.state.iteration < self._prefix_iters
+            )
+            if in_prefix:
+                n = min(n, self._prefix_iters - self.state.iteration)
+            chunk_fn = self._adam_chunk_prefix if in_prefix else self._adam_chunk
+            params, opt_state, losses = chunk_fn(
                 self.state.params,
                 self.state.opt_state,
                 self.batch,
