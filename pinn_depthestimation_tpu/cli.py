@@ -8,6 +8,7 @@ promoted to a flag (SURVEY.md §5 'Config / flag system'):
     pinn-tpu train --config config_CMB_h.json [--log-root ../log]
                    [--resume CKPT] [--init-from CKPT|PTH] [--mesh N]
                    [--run-name NAME] [--f64-polish MAX_IT]
+                   [--precision-schedule PREFIX_ITERS[:TIER]]
     pinn-tpu test  --config config_CMB.json [--model CKPT]
     pinn-tpu bench
     pinn-tpu synth --out DIR [--nx 81 --ny 261]
@@ -68,6 +69,35 @@ def cmd_train(args) -> int:
             config.f64_polish = _parse_f64_polish(block)
         else:
             config.f64_polish = None
+
+    if args.precision_schedule is not None:
+        # "PREFIX_ITERS[:TIER]" — merges onto any JSON-configured block
+        # (an explicit :TIER overrides its tier); "0" disables the schedule
+        from pinn_depthestimation_tpu.config import _parse_precision_schedule
+
+        spec_str = str(args.precision_schedule)
+        iters_str, _, tier = spec_str.partition(":")
+        try:
+            prefix_iters = int(iters_str)
+        except ValueError:
+            print(f"Error: --precision-schedule expects PREFIX_ITERS[:TIER], "
+                  f"got {spec_str!r}")
+            return 1
+        if prefix_iters > 0:
+            block = config.raw.get("precision_schedule")
+            block = dict(block) if isinstance(block, dict) else {}
+            block["prefix_iters"] = prefix_iters
+            if tier:
+                block["prefix_precision"] = tier
+            try:
+                config.precision_schedule = _parse_precision_schedule(block)
+            except Exception as e:
+                if args.debug:
+                    raise
+                print(f"Error: {e}")
+                return 1
+        else:
+            config.precision_schedule = None
 
     if args.init_from and args.resume:
         # --resume restores params wholesale, which would silently discard
@@ -294,6 +324,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "kept, the eval budget re-derives from MAX_IT). "
                         "0 disables the phase. See README 'Float64 polish "
                         "phase'")
+    t.add_argument("--precision-schedule", default=None,
+                   metavar="PREFIX_ITERS[:TIER]",
+                   help="staged-precision Adam prefix: the first PREFIX_ITERS "
+                        "steps evaluate at the cheap TIER (bf16 default, or "
+                        "f32x3), then the run continues at kernel_precision "
+                        "(measured: the f32 tail preserves the f32 terminal "
+                        "basin — MIGRATION.md 'Staged precision'). 0 disables "
+                        "any JSON-configured schedule")
     t.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     t.set_defaults(fn=cmd_train)

@@ -317,3 +317,60 @@ def test_bench_dead_relay_fallback_all_modes(capsys, monkeypatch):
         assert main(["bench", *mode]) == 0
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["extras"]["tpu_relay_dead"] is True
+
+
+def test_train_precision_schedule_flag(config_file, monkeypatch):
+    """--precision-schedule PREFIX_ITERS[:TIER] merges onto/overrides the
+    JSON block; 0 disables; malformed values error cleanly."""
+    import pinn_depthestimation_tpu.training as training_mod
+
+    config, tmp_path = config_file
+    seen = {}
+
+    class SpyTrainer:
+        def __init__(self, cfg, **kw):
+            seen["sched"] = cfg.precision_schedule
+            self.state = type("S", (), {"iteration": 0})()
+
+        def train(self):
+            pass
+
+        def save(self, *a, **k):
+            return str(tmp_path / "ckpt.msgpack")
+
+    monkeypatch.setattr(training_mod, "Trainer", SpyTrainer)
+
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "s1",
+               "--precision-schedule", "7:f32x3"])
+    assert rc == 0
+    assert seen["sched"].prefix_iters == 7
+    assert seen["sched"].prefix_precision == "f32x3"
+
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "s2",
+               "--precision-schedule", "9"])
+    assert rc == 0
+    assert (seen["sched"].prefix_iters, seen["sched"].prefix_precision) == (9, "bf16")
+
+    # JSON enables it, flag 0 disables
+    raw = json.loads(open(config).read())
+    raw["precision_schedule"] = {"prefix_precision": "bf16", "prefix_iters": 5}
+    cfg2 = tmp_path / "config_sched.json"
+    cfg2.write_text(json.dumps(raw))
+    rc = main(["train", "--config", str(cfg2),
+               "--log-root", str(tmp_path / "log"), "--run-name", "s3",
+               "--precision-schedule", "0"])
+    assert rc == 0
+    assert seen["sched"] is None
+    # and the JSON tier is preserved when the flag only re-budgets iters
+    rc = main(["train", "--config", str(cfg2),
+               "--log-root", str(tmp_path / "log"), "--run-name", "s4",
+               "--precision-schedule", "11"])
+    assert rc == 0
+    assert (seen["sched"].prefix_iters, seen["sched"].prefix_precision) == (11, "bf16")
+
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "s5",
+               "--precision-schedule", "many:bf16"])
+    assert rc == 1
