@@ -78,11 +78,26 @@ def test_framework_gap_inside_reference_intrinsic_spread(runs):
         for b in seeds[i + 1 :]
     ]
     assert len(spreads) == 3
+
+    # when the framework-phase cache exists (written by the report
+    # recompose, parity --fw-cache), recompute the framework-vs-reference
+    # gap live instead of trusting the recorded 2.12%
+    fw_cache = os.path.join(SOAK, "fw_cmb_tight.npz")
+    framework_gap = FRAMEWORK_GAP
+    if os.path.exists(fw_cache):
+        fw_h = np.load(fw_cache)["h"]
+        assert fw_h.shape == runs[1234]["h"].shape
+        framework_gap = (
+            float(np.sqrt(np.mean((fw_h - runs[1234]["h"]) ** 2))) / scale
+        )
+        # the recorded number stays accurate (chaotic mid-schedule, but the
+        # terminal field is stable across recomposes at the same seed)
+        assert framework_gap < 0.05, framework_gap
     # the measured attribution: every ref-vs-ref pair disagrees by MORE than
     # the framework-vs-reference gap (7.64-10.15% vs 2.12% as recorded)
-    assert min(spreads) > 2 * FRAMEWORK_GAP, (
+    assert min(spreads) > 2 * framework_gap, (
         f"reference intrinsic spread {min(spreads):.2%} no longer dominates "
-        f"the framework gap {FRAMEWORK_GAP:.2%} — the underdeterminacy "
+        f"the framework gap {framework_gap:.2%} — the underdeterminacy "
         f"attribution in PARITY_CMB.md is invalidated"
     )
     # and the recorded numbers stay what PARITY_CMB.md quotes (cache drift)
