@@ -133,6 +133,15 @@ def compose(append_to: str | None = None) -> None:
                    f"{f'{fw_gap:.2%}' if fw_gap is not None else '2.12%, PARITY_CMB.md'})")
         print("\n" + summary)
         if append_to:
+            header = ("## Reference-vs-reference intrinsic spread "
+                      "(is the 12-row recipe determined to 1%?)")
+            with open(append_to) as f:
+                existing = f.read()
+            if header in existing:
+                # re-running the recompose must REPLACE the section, not
+                # stack duplicates; it is always the trailing section
+                with open(append_to, "w") as f:
+                    f.write(existing[: existing.index(header)].rstrip() + "\n")
             section = (
                 "\n## Reference-vs-reference intrinsic spread "
                 "(is the 12-row recipe determined to 1%?)\n\n"

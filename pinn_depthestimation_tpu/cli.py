@@ -83,6 +83,12 @@ def cmd_train(args) -> int:
             print(f"Error: --precision-schedule expects PREFIX_ITERS[:TIER], "
                   f"got {spec_str!r}")
             return 1
+        if prefix_iters < 0:
+            # mirror the JSON parser's >= 0 contract: a negative value is a
+            # typo, not a request to disable (that is what 0 means)
+            print(f"Error: --precision-schedule PREFIX_ITERS must be >= 0, "
+                  f"got {prefix_iters} (0 disables the schedule)")
+            return 1
         if prefix_iters > 0:
             block = config.raw.get("precision_schedule")
             block = dict(block) if isinstance(block, dict) else {}

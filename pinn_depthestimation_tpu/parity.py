@@ -64,7 +64,7 @@ def _cache_meta(args) -> np.ndarray:
     return np.asarray(vals)
 
 
-def _check_cache_meta(path: str, z, args) -> None:
+def _check_cache_meta(path: str, z, args, flag: str = "--ref-cache") -> None:
     if "meta" not in z.files:  # cache written by an older parity.py
         print(f"      WARNING: {path} carries no experiment metadata; "
               "cannot verify it matches the requested flags", flush=True)
@@ -80,15 +80,35 @@ def _check_cache_meta(path: str, z, args) -> None:
             for f, g, w in zip(_CACHE_META_FIELDS, got, want)
             if not np.isclose(g, w)
         )
+        phase = "reference" if flag == "--ref-cache" else "framework"
         raise SystemExit(
-            f"--ref-cache {path} was produced by a different experiment "
-            f"({detail}); rerun the reference phase or fix the flags"
+            f"{flag} {path} was produced by a different experiment "
+            f"({detail}); rerun the {phase} phase or fix the flags"
         )
+
+
+def _params_fingerprint(params) -> str:
+    """Order-stable digest of a parameter pytree (raw bytes of every leaf).
+    Binds a ``--fw-cache`` to the exact initial weights its framework run
+    trained from, so it can never be recomposed against a DIFFERENT
+    reference cache (e.g. one of the ``.soak/ref_cmb_seed*.npz`` seed-spread
+    runs) into a plausible-looking but meaningless report."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for k in sorted(params):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(np.asarray(params[k])).tobytes())
+    return h.hexdigest()
 
 
 def make_config(mat_path: str, adam_iters: int, lbfgs_iters: int,
                 tol_grad: float = 1e-5, tol_change: float = 1e-7,
-                hidden_layers: int = 3, hidden_width: int = 16) -> dict:
+                hidden_layers: int = 3, hidden_width: int = 16,
+                weight_res: float = 1.0) -> dict:
+    """``weight_res`` scales the continuity term exactly as the reference's
+    ``weight_res_loss`` config key (train_newmethod.py loss assembly) — the
+    structured-recipe sweep knob (.soak/structured_pilot_r5.py)."""
     return {
         "layers": {"input_features": 2, "hidden_layers": hidden_layers,
                    "hidden_width": hidden_width,
@@ -100,7 +120,7 @@ def make_config(mat_path: str, adam_iters: int, lbfgs_iters: int,
                             "history_size": 100, "tolerance_grad": tol_grad,
                             "tolerance_change": tol_change,
                             "line_search_fn": "strong_wolfe"},
-        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": weight_res},
         "data": {"file": mat_path,
                  "inputs": {"x": {"requires_grad": ["true"]},
                             "y": {"requires_grad": ["true"]}},
@@ -213,11 +233,20 @@ def run_reference_cmb(
         train_path = os.path.join(workdir, "train.py")
         with open(train_path) as f:
             src = f.read()
+        # one substring replace covers np.random.seed(1234) AND
+        # torch.manual_seed(1234) (train.py:22,30 — "manual_seed(1234)"
+        # contains "seed(1234)"); cuda.manual_seed_all(1234) (train.py:26,
+        # dead on this CPU-only torch) is a different substring, patched
+        # separately for completeness
+        if src.count("seed(1234)") != 2 or src.count("seed_all(1234)") != 1:
+            raise RuntimeError(
+                f"seed patch expected the reference's literals at "
+                f"train.py:22,26,30; found {src.count('seed(1234)')} "
+                f"seed(1234) + {src.count('seed_all(1234)')} seed_all(1234)"
+            )
         patched = src.replace("seed(1234)", f"seed({seed})").replace(
-            "manual_seed(1234)", f"manual_seed({seed})"
+            "seed_all(1234)", f"seed_all({seed})"
         )
-        if patched == src:
-            raise RuntimeError("seed patch found no 1234 literals in train.py")
         with open(train_path, "w") as f:
             f.write(patched)
     with open(os.path.join(workdir, "operations.py"), "a") as f:
@@ -515,7 +544,7 @@ def main(argv=None) -> int:
         print(f"[2/3] framework phase loaded from cache {args.fw_cache}",
               flush=True)
         zf = np.load(args.fw_cache)
-        _check_cache_meta(args.fw_cache, zf, args)
+        _check_cache_meta(args.fw_cache, zf, args, flag="--fw-cache")
         # f64_polish shapes the FRAMEWORK trajectory (but not the reference
         # one), so it is validated here rather than in the shared meta vector
         cached_polish = int(zf["f64_polish"]) if "f64_polish" in zf.files else 0
@@ -525,6 +554,24 @@ def main(argv=None) -> int:
                 f"{cached_polish}, requested {args.f64_polish}; rerun the "
                 f"framework phase or fix the flag"
             )
+        # bind the cached framework run to the reference initial weights it
+        # actually trained from — flags alone cannot catch a ref-cache swap
+        # (e.g. a .soak/ref_cmb_seed*.npz seed-spread cache at the same recipe)
+        if "init_fingerprint" in zf.files:
+            want_fp = _params_fingerprint(params)
+            got_fp = str(zf["init_fingerprint"])
+            if got_fp != want_fp:
+                raise SystemExit(
+                    f"--fw-cache {args.fw_cache} was trained from different "
+                    f"initial weights than the loaded reference phase "
+                    f"provides (fingerprint {got_fp[:12]}... != "
+                    f"{want_fp[:12]}...); the pair would compose a "
+                    f"meaningless report — rerun the framework phase"
+                )
+        else:
+            print(f"      WARNING: {args.fw_cache} carries no initial-weight "
+                  "fingerprint; cannot verify it matches the reference phase",
+                  flush=True)
         our_totals = zf["totals"].tolist()
         our_fids, our_ress = zf["fids"].tolist(), zf["ress"].tolist()
         our_h, our_wall = zf["h"], float(zf["wall"])
@@ -554,6 +601,7 @@ def main(argv=None) -> int:
                 h=np.asarray(our_h),
                 wall=our_wall,
                 f64_polish=args.f64_polish,
+                init_fingerprint=_params_fingerprint(params),
                 meta=_cache_meta(args),
             )
             print(f"      cached to {args.fw_cache}", flush=True)

@@ -195,11 +195,17 @@ class Trainer:
         self.state = TrainState(params=params, opt_state=opt_state, iteration=0)
 
         self._adam_chunk = self._build_adam_chunk()
-        self._adam_chunk_prefix = (
-            self._build_adam_chunk(self._prefix_value_and_grad)
-            if self._prefix_value_and_grad is not None
-            else None
-        )
+        if self._prefix_value_and_grad is None:
+            self._adam_chunk_prefix = None
+        elif self._prefix_value_and_grad is self.value_and_grad_fn:
+            # inert schedule (XLA path / tier == main tier): reuse the main
+            # chunk program — a second identical closure would trace and
+            # XLA-compile the whole Adam scan twice for nothing
+            self._adam_chunk_prefix = self._adam_chunk
+        else:
+            self._adam_chunk_prefix = self._build_adam_chunk(
+                self._prefix_value_and_grad
+            )
         self._lbfgs_runner: lbfgs_mod.LBFGSRunner | None = None
         self._live_lbfgs_state = None       # exported into checkpoints
         self._pending_lbfgs_resume = None   # raw dict from a restored ckpt

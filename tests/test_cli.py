@@ -374,3 +374,9 @@ def test_train_precision_schedule_flag(config_file, monkeypatch):
                "--log-root", str(tmp_path / "log"), "--run-name", "s5",
                "--precision-schedule", "many:bf16"])
     assert rc == 1
+
+    # negative values are typos, not disable requests (that is 0)
+    rc = main(["train", "--config", config,
+               "--log-root", str(tmp_path / "log"), "--run-name", "s6",
+               "--precision-schedule=-5:bf16"])
+    assert rc == 1

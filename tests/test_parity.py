@@ -501,3 +501,29 @@ def test_parity_ref_only_then_compose_roundtrip(tmp_path):
     assert "reference phase loaded from cache" not in text  # stdout, not report
     assert "## Per-iteration total loss" in text
     assert "## Recovered depth field (h) at end of training" in text
+
+
+def test_fw_cache_binds_to_reference_initial_weights(tmp_path, monkeypatch):
+    """--fw-cache recompose must refuse a framework cache trained from
+    DIFFERENT initial weights than the loaded reference phase provides
+    (flags alone cannot catch a ref-cache swap at the same recipe)."""
+    import numpy as np
+
+    from pinn_depthestimation_tpu import parity
+
+    monkeypatch.chdir(tmp_path)
+    fw = str(tmp_path / "fw.npz")
+    args = ["--iters", "4", "--lbfgs", "2", "--nx", "10", "--ny", "8",
+            "--hidden-layers", "2", "--width", "8",
+            "--out", str(tmp_path / "R.md"), "--fw-cache", fw]
+    assert parity.main(args) == 0          # writes the cache + fingerprint
+    z = np.load(fw)
+    assert "init_fingerprint" in z.files
+    assert parity.main(args) == 0          # recomposes from it
+
+    # corrupt the fingerprint -> the pair must be refused loudly
+    data = {k: z[k] for k in z.files}
+    data["init_fingerprint"] = "0" * 64
+    np.savez(fw, **data)
+    with pytest.raises(SystemExit, match="different initial weights"):
+        parity.main(args)
