@@ -88,9 +88,13 @@ def load_cmb_training_data(config: Config, rng: np.random.RandomState | None = N
     fid_in = np.column_stack([fidelity_input[k] for k in fd.inputs])
     fid_true = np.column_stack([fidelity_true[k] for k in fd.outputs])
 
-    # random subsample of training_points rows (reference train.py:237-240)
-    idx = rng.choice(fid_in.shape[0], fd.training_points, replace=False)
-    fid_in, fid_true = fid_in[idx, :], fid_true[idx, :]
+    # random subsample of training_points rows (reference train.py:237-240).
+    # 0/absent means "use all rows" (matching the legacy loader's semantics;
+    # the raw reference call would silently produce an EMPTY fidelity set),
+    # and a request >= the row count keeps all rows instead of raising.
+    if fd.training_points and fd.training_points < fid_in.shape[0]:
+        idx = rng.choice(fid_in.shape[0], fd.training_points, replace=False)
+        fid_in, fid_true = fid_in[idx, :], fid_true[idx, :]
 
     # --- residual: per-variable .mat -> stride -> normalize with fidelity
     # bounds -> Fortran-order column -> hstack (reference train.py:257-273)
@@ -246,6 +250,22 @@ def load_legacy_training_data(
     missing = [k for k in (*fd.inputs, *fd.outputs) if k not in frame.columns]
     if missing:
         raise KeyError(f"{fd.file!r} is missing fidelity columns {missing}")
+    # Drop non-finite rows FIRST: FUNWAVE gauge files carry 'nan' rows for
+    # dry gauges (anticipated by the CSV sniffer above). Done before the
+    # min/max so one dry gauge can neither poison the normalization bounds
+    # nor make the fidelity MSE (and every gradient) NaN from iteration 1.
+    # (Our defined semantics: the reference cannot run this pipeline at all,
+    # SURVEY §5 quirk 5; mirrors the residual-grid NaN mask.)
+    used_cols = list(dict.fromkeys((*fd.inputs, *fd.outputs)))
+    finite = np.isfinite(
+        np.column_stack([frame[k].to_numpy(np.float64) for k in used_cols])
+    ).all(axis=1)
+    frame = frame[finite]
+    if not frame.shape[0]:
+        raise ValueError(
+            f"{fd.file!r}: every fidelity row has a non-finite value in "
+            f"{used_cols} — nothing to train on"
+        )
     fidelity_input = {k: frame[k].to_numpy(np.float64) for k in fd.inputs}
     fidelity_true = {k: frame[k].to_numpy(np.float64) for k in fd.outputs}
     input_min_max = ops.get_min_max(fidelity_input, config.raw)

@@ -471,6 +471,12 @@ def make_lbfgs_step(evaluate: Callable, options: LBFGSOptions):
             stallish
             & (jnp.max(jnp.abs(g_new)) > tol_grad)
             & (state.restarts < options.max_restarts)
+            # a restart must never override an exhausted budget: NOT_DESCENT
+            # is assigned before the max_iter/max_eval checks above, so
+            # without these conjuncts a non-descent stall at the budget edge
+            # would resurrect the run for up to another full line search
+            & (n_iter < options.max_iter)
+            & (func_evals < max_eval)
         )
         rho = jnp.where(do_restart, jnp.zeros_like(rho), rho)
         num = jnp.where(do_restart, jnp.zeros_like(num), num)
@@ -743,6 +749,11 @@ def lbfgs_minimize(
     while not runner.finished(state):
         state, records = runner.run_chunk(state, None)
         history.append(records)
+    # immediate convergence leaves the init evaluation's row unflushed —
+    # without this, nfev=1 would come with an empty history
+    state, leftover = runner.drain_records(state)
+    if leftover.size:
+        history.append(leftover)
     info = {
         "fun": float(state.f),
         "nit": int(state.n_iter),

@@ -69,19 +69,29 @@ def _anchor_kwargs(config: Config, input_min_max: dict | None) -> dict:
     physical coordinates by mapping it into normalized space (equivalent to
     comparing against denormalized x, with no extra data plumbing)."""
     equation_kwargs: dict = {}
-    if (
-        not config.parity
-        and config.physics == "continuity_only"
-        and input_min_max
-        and "x" in input_min_max
-    ):
+    if not config.parity and config.physics == "continuity_only":
+        if (
+            not input_min_max
+            or "x" not in input_min_max
+            or input_min_max["x"][0] == input_min_max["x"][1]
+        ):
+            # failing loudly, not falling back: without the x bounds the
+            # threshold would be compared raw (25.5) against normalized x in
+            # [-1, 1] — every point anchor-selected, which is exactly the
+            # quirk-2 behavior the caller opted OUT of with parity=false
+            raise ValueError(
+                "parity=false with continuity_only physics needs "
+                "input_min_max with non-degenerate 'x' bounds to place the "
+                "anchor threshold in normalized coordinates (pass the "
+                "loader's input_min_max to build_loss_fn/"
+                "build_value_and_grad_fn)"
+            )
         lo, hi = input_min_max["x"]
-        if hi != lo:
-            anchor_raw = config.raw.get("anchor", {})
-            threshold = float(anchor_raw.get("threshold", 25.5))
-            equation_kwargs["anchor_threshold"] = 2 * (threshold - lo) / (hi - lo) - 1
-            if "depth" in anchor_raw:
-                equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
+        anchor_raw = config.raw.get("anchor", {})
+        threshold = float(anchor_raw.get("threshold", 25.5))
+        equation_kwargs["anchor_threshold"] = 2 * (threshold - lo) / (hi - lo) - 1
+        if "depth" in anchor_raw:
+            equation_kwargs["anchor_depth"] = float(anchor_raw["depth"])
     return equation_kwargs
 
 
@@ -319,16 +329,60 @@ def build_loss_fn(
             chunks = res_input.reshape(k, chunk, -1)
             masks = mask_full.reshape(k, chunk)
 
+            # shared-points contract: fold the fidelity term into the same
+            # chunked sufficient-statistics sweep. The whole point of
+            # chunking is bounding reverse-pass activation memory to one
+            # chunk — a separate full-batch differentiated fidelity forward
+            # over the SAME rows would store every layer's activations for
+            # the entire set again (the memory the chunking just saved).
+            if share_forward:
+                fid_true_full = batch["fidelity_true"]
+                fmask_full = batch.get("fidelity_mask")
+                if fmask_full is None:
+                    fmask_full = jnp.ones((n,), res_input.dtype)
+                if pad:
+                    fid_true_full = jnp.concatenate(
+                        [fid_true_full,
+                         jnp.broadcast_to(
+                             fid_true_full[:1], (pad,) + fid_true_full.shape[1:]
+                         )]
+                    )
+                    fmask_full = jnp.concatenate(
+                        [fmask_full, jnp.zeros((pad,), fmask_full.dtype)]
+                    )
+                fid_chunks = fid_true_full.reshape(k, chunk, -1)
+                fmasks = fmask_full.reshape(k, chunk)
+
             @jax.checkpoint
             def chunk_stats(args):
-                points, m = args
+                if share_forward:
+                    points, m, f_true, f_m = args
+                else:
+                    points, m = args
                 coords, fields, grads = bundle(points)
-                return stats_fn(
+                stats = dict(stats_fn(
                     coords, fields, grads, mask=m, parity=parity, **equation_kwargs
-                )
+                ))
+                if share_forward:
+                    pred = jnp.stack(
+                        [fields[name] for name in net_outputs], axis=-1
+                    )[..., : len(fid_outputs)]
+                    err2 = (f_true - pred) ** 2
+                    stats["_fid_sum_err2"] = jnp.sum(err2 * f_m[:, None], axis=0)
+                    stats["_fid_n"] = jnp.sum(f_m)
+                return stats
 
-            stats = jax.lax.map(chunk_stats, (chunks, masks))
-            residual = combine_fn(jax.tree.map(lambda a: jnp.sum(a, axis=0), stats))
+            xs = (
+                (chunks, masks, fid_chunks, fmasks)
+                if share_forward
+                else (chunks, masks)
+            )
+            stats = jax.lax.map(chunk_stats, xs)
+            summed = jax.tree.map(lambda a: jnp.sum(a, axis=0), stats)
+            if share_forward:
+                per_output = summed.pop("_fid_sum_err2") / summed.pop("_fid_n")
+                fidelity = jnp.sum(fid_weights * per_output)
+            residual = combine_fn(summed)
 
         if fidelity is None:
             # separate fidelity forward (reference train.py:131-141)

@@ -140,3 +140,58 @@ def test_corrected_anchor_mode(tmp_path):
     chunked = build_loss_fn(cfg_fixed, spec, residual_chunk_size=32, input_min_max=mm)
     t_c, _ = chunked(params, batch)
     np.testing.assert_allclose(float(t_c), float(t_f), rtol=1e-6)
+
+
+def test_chunked_shared_fidelity_stays_chunked(tmp_path, monkeypatch):
+    """With the newmethod shared-points contract, the chunked path must fold
+    the fidelity term into the chunked sweep — a separate full-batch
+    differentiated fidelity forward over the same rows would re-pay exactly
+    the activation memory residual_chunk_size exists to bound."""
+    import pinn_depthestimation_tpu.training.loss as loss_mod
+
+    cfg = _cfg(tmp_path)
+    spec = MLPSpec.from_layers(cfg.layers)
+    params = init_mlp_params(jax.random.PRNGKey(5), spec)
+    batch = _batch(cfg)
+    mm = {"x": (25.0, 33.0), "y": (-13.0, 13.0)}
+
+    plain = build_loss_fn(cfg, spec, input_min_max=mm,
+                          fidelity_is_residual=True)
+    t_plain, (f_plain, r_plain) = plain(params, batch)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "full-batch fidelity forward called on the chunked shared path"
+        )
+
+    monkeypatch.setattr(loss_mod, "mlp_apply", boom)
+    chunked = build_loss_fn(cfg, spec, residual_chunk_size=32,
+                            input_min_max=mm, fidelity_is_residual=True)
+    t_c, (f_c, r_c) = chunked(params, batch)   # must not touch mlp_apply
+    np.testing.assert_allclose(float(t_c), float(t_plain), rtol=2e-6)
+    np.testing.assert_allclose(float(f_c), float(f_plain), rtol=2e-6)
+    np.testing.assert_allclose(float(r_c), float(r_plain), rtol=2e-6)
+    # grads agree too (the term is differentiated through the chunk sweep)
+    g_p = jax.grad(lambda p: plain(p, batch)[0])(params)
+    monkeypatch.setattr(loss_mod, "mlp_apply", boom)
+    g_c = jax.grad(lambda p: chunked(p, batch)[0])(params)
+    for k in g_p:
+        a, b = np.asarray(g_p[k]), np.asarray(g_c[k])
+        if a.size:
+            scale = np.abs(a).max() + 1e-12
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
+    # the separate-points contract still uses the fidelity forward
+    sep = build_loss_fn(cfg, spec, residual_chunk_size=32, input_min_max=mm)
+    with pytest.raises(AssertionError, match="full-batch fidelity"):
+        sep(params, batch)
+
+
+def test_corrected_anchor_requires_bounds(tmp_path):
+    """parity=false continuity_only without input_min_max must fail loudly
+    instead of silently reproducing the quirk-2 anchor behavior."""
+    cfg_fixed = _cfg(tmp_path, parity=False)
+    spec = MLPSpec.from_layers(cfg_fixed.layers)
+    with pytest.raises(ValueError, match="input_min_max"):
+        build_loss_fn(cfg_fixed, spec)
+    with pytest.raises(ValueError, match="input_min_max"):
+        build_loss_fn(cfg_fixed, spec, input_min_max={"x": (3.0, 3.0)})

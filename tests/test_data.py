@@ -134,3 +134,45 @@ def test_config_roundtrip_through_json(tmp_path, newmethod_config):
     cfg2 = load_config(str(p))
     assert cfg2.kind == newmethod_config.kind
     assert cfg2.layers == newmethod_config.layers
+
+
+def test_cmb_training_points_zero_means_all_rows(tmp_path):
+    """training_points=0/absent uses every fidelity row (the raw reference
+    call would silently produce an EMPTY set), and an over-large request
+    keeps all rows instead of raising."""
+    from pinn_depthestimation_tpu.utils import synthetic
+
+    csv = str(tmp_path / "fid.csv")
+    mat = str(tmp_path / "res.mat")
+    synthetic.make_cmb_dataset(csv, mat, nx=9, ny=7, n_csv=25, seed=0)
+    base = {
+        "layers": {"input_features": 2, "hidden_layers": 2, "hidden_width": 8,
+                   "output_features": 6, "dropout_rate": 0.0,
+                   "init_type": "xavier"},
+        "adam_optimizer": {"max_it": 1, "learning_rate": 1e-4,
+                           "scheduler_step_size": 5, "scheduler_gamma": 0.8},
+        "lbfgs_optimizer": {"max_it": 0, "learning_rate": 1,
+                            "max_evaluation": 0, "history_size": 5,
+                            "tolerance_grad": 1e-9, "tolerance_change": 1e-12},
+        "loss": {"weight_fid_loss": 1, "weight_res_loss": 1},
+        "data_fidelity": {"file": csv, "inputs": ["x", "y"],
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"]},
+        "data_residual": {"file": mat,
+                          "inputs": {"x": {"requires_grad": ["true"]},
+                                     "y": {"requires_grad": ["true"]}},
+                          "outputs": ["h", "U", "V", "eta_mean", "Hrms", "k"],
+                          "interval_x": 1, "interval_y": 1},
+        "data_test": {"x_min": 25.0, "x_max": 33.0,
+                      "y_min": -13.0, "y_max": 13.0},
+        "physics": "wave_averaged",
+    }
+    td = data_mod.load_cmb_training_data(parse_config(base))
+    assert td.fidelity_input.shape[0] == 25     # all rows
+
+    base["data_fidelity"]["training_points"] = 10_000
+    td = data_mod.load_cmb_training_data(parse_config(base))
+    assert td.fidelity_input.shape[0] == 25     # clamped, not an error
+
+    base["data_fidelity"]["training_points"] = 10
+    td = data_mod.load_cmb_training_data(parse_config(base))
+    assert td.fidelity_input.shape[0] == 10     # the reference subsample

@@ -365,8 +365,13 @@ def test_loss_builder_fused_separate_fidelity_matches_xla(
              "fidelity_true": jnp.asarray(td.fidelity_true),
              "residual_input": jnp.asarray(td.residual_input)}
 
-    loss_xla = build_loss_fn(cfg, spec)
-    loss_fused = build_loss_fn(cfg, spec, fused_kernel=True, fused_interpret=True)
+    # corrected mode (parity=false) requires the loader's normalization
+    # bounds so the continuity anchor threshold lands in normalized space
+    # (loss.py::_anchor_kwargs fails loudly without them)
+    mm = td.input_min_max
+    loss_xla = build_loss_fn(cfg, spec, input_min_max=mm)
+    loss_fused = build_loss_fn(cfg, spec, fused_kernel=True,
+                               fused_interpret=True, input_min_max=mm)
     (t1, (f1, r1)), g1 = jax.value_and_grad(loss_xla, has_aux=True)(params, batch)
     (t2, (f2, r2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params, batch)
     # the fidelity term's packed-lane forward reorders f32 sums vs

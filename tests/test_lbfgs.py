@@ -14,6 +14,7 @@ import torch
 from scipy.optimize import minimize as scipy_minimize
 
 from pinn_depthestimation_tpu.optim import LBFGSOptions, LBFGSRunner, lbfgs_minimize
+from pinn_depthestimation_tpu.optim.lbfgs import MAX_LS
 
 
 def rosenbrock_jnp(xy):
@@ -418,3 +419,40 @@ def test_runner_f64_reaches_f64_precision():
         x_fin = np.asarray(runner.get_params(state)["x"])
         np.testing.assert_allclose(x_fin, np.asarray(c), atol=1e-7)
     assert jax.config.jax_enable_x64 is False
+
+
+def test_minimize_immediate_convergence_keeps_init_record():
+    """Converging at x0 must still report the init evaluation's history row
+    (drain_records exists for exactly this; nfev and history must agree)."""
+    x, info = lbfgs_minimize(
+        lambda p: jnp.sum(p**2),
+        jnp.zeros((3,)),
+        LBFGSOptions(max_iter=10, tolerance_grad=1e-8),
+    )
+    assert info["nfev"] == 1
+    assert info["history"].shape[0] == 1
+    np.testing.assert_allclose(info["history"][0, 2], 0.0, atol=1e-12)
+
+
+def test_restart_cannot_override_exhausted_budget():
+    """A stall restart must never resurrect a run whose max_eval/max_iter
+    budget is already exhausted (NOT_DESCENT is assigned before the budget
+    checks in the reason cascade)."""
+
+    def rosen(p):
+        return jnp.sum(100.0 * (p[1:] - p[:-1] ** 2) ** 2 + (1 - p[:-1]) ** 2)
+
+    for max_eval in (3, 7, 15):
+        _, info = lbfgs_minimize(
+            rosen,
+            jnp.zeros((6,)),
+            LBFGSOptions(
+                max_iter=1000, max_eval=max_eval, history_size=10,
+                tolerance_grad=1e-12, tolerance_change=1e-16,
+                max_restarts=8,
+            ),
+        )
+        # one in-flight strong-Wolfe search may legitimately finish past the
+        # budget edge (torch semantics); a restart-resurrected EXTRA search
+        # would exceed this bound
+        assert info["nfev"] <= max_eval + MAX_LS + 1, (max_eval, info)

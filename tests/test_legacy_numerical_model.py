@@ -234,3 +234,34 @@ def test_legacy_fidelity_csv_space_padded_columns(tmp_path):
     frame = data_mod._read_legacy_fidelity_csv(path)
     assert list(frame.columns) == ["t", "x", "y", "h", "z", "u", "v"]
     assert len(frame) == 2 and frame["y"].iloc[1] == -12.0
+
+
+def test_legacy_dry_gauge_rows_are_masked(snapshot_setup):
+    """A FUNWAVE dry-gauge fidelity row (literal 'nan' outputs) must be
+    dropped BEFORE normalization bounds and training — one surviving NaN
+    poisons the u/v min/max and makes the fidelity MSE (and every gradient)
+    NaN from iteration 1."""
+    snap_dir, csv, tmp_path = snapshot_setup
+    with open(csv) as f:
+        n_rows = sum(1 for line in f if line.strip()) - 1  # header
+    with open(csv, "a") as f:
+        f.write("0.00 25.00 -13.00 nan nan nan nan\n")
+
+    cfg = parse_config(_legacy_raw(snap_dir, csv))
+    td = data_mod.load_legacy_training_data(cfg)
+    assert np.isfinite(td.fidelity_input).all()
+    assert np.isfinite(td.fidelity_true).all()
+    # the dry row is gone; the clean rows (subsampled to training_points cap)
+    # are still there
+    assert 0 < td.fidelity_input.shape[0] <= n_rows
+    # and the normalization bounds stayed finite (u/v come from the data)
+    for k, (lo, hi) in td.input_min_max.items():
+        assert np.isfinite(lo) and np.isfinite(hi), k
+
+    # an all-dry file fails loudly, not with a NaN loss
+    all_dry = str(tmp_path / "dry.csv")
+    with open(all_dry, "w") as f:
+        f.write("0.00 25.00 -13.00 nan nan nan nan\n")
+    cfg2 = parse_config(_legacy_raw(snap_dir, all_dry))
+    with pytest.raises(ValueError, match="non-finite"):
+        data_mod.load_legacy_training_data(cfg2)
